@@ -1,0 +1,384 @@
+"""Pallas TPU tile compositor for Gaussian splatting (forward + backward).
+
+Replaces the sequential per-pixel alpha-blending loop of the CUDA reference
+rasterizer (`diff-gaussian-rasterization-w-depth`, consumed by
+`src/tracking/train_utils.py:178`) with an order-independent-transmittance
+formulation that vectorizes over both pixels and Gaussians:
+
+    T_k = prod_{j<k} (1 - a_j) = exp( cumsum log(1 - a_j) )
+    out_c = sum_k a_k T_k c_k            (an MXU matmul per chunk)
+
+Alpha compositing is sequential only through the cumulative product; with the
+log-space cumsum it becomes an associative scan, so each (chunk x pixel) alpha
+block is pure VPU work and the color/depth accumulation is a (4 x CH) @
+(CH x P) matmul on the MXU. The backward pass re-traverses chunks in reverse,
+reconstructing per-Gaussian transmittance from the stored final log-T
+(logT_before_k = logT_final - logT_suffix_k) — no atomics, no per-pixel
+contributor stacks; per-tile gradient blocks are dense and scattered back to
+Gaussians outside the kernel by the VJP of the feature gather.
+
+Feature row layout (FEAT_DIM rows x K gaussians per tile):
+  0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity |
+  6 r | 7 g | 8 b | 9 depth | 10..15 padding
+
+Semantics vs CUDA: alpha clamped to 0.99, contributions with power > 0 or
+alpha < 1/255 dropped — identical. The CUDA early termination at T < 1e-4 is
+omitted (it only bounds work that the OIT form does not need); outputs differ
+from the strict reference by < 1e-4 in color and final transmittance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FEAT_DIM = 16
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+# accumulated channels: r, g, b, depth
+ACCUM_DIM = 4
+
+
+def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum over axis 0 of (CH, P) via a triangular matmul.
+
+    Pallas TPU has no cumsum lowering; a (CH x CH) lower-triangular ones
+    matrix on the MXU is both supported and essentially free next to the
+    alpha evaluation (CH=128 makes it one native MXU tile).
+    """
+    ch = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    tri = (row >= col).astype(jnp.float32)
+    return jax.lax.dot_general(
+        tri, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pixel_coords(tile_idx, tiles_x: int, tile_h: int, tile_w: int):
+    """Pixel-center coordinates for tile ``tile_idx`` as (1, P) f32 arrays."""
+    P = tile_h * tile_w
+    ty = tile_idx // tiles_x
+    tx = tile_idx % tiles_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * tile_w + p % tile_w).astype(jnp.float32)
+    py = (ty * tile_h + p // tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(chunk, px, py, smask):
+    """Alpha for one (FEAT_DIM, CH) feature chunk against (1, P) pixels.
+
+    Returns (alpha (CH, P), e=exp(power) (CH, P), clamp_gate (CH, P), dx, dy).
+    """
+    mx = chunk[0, :][:, None]  # (CH, 1)
+    my = chunk[1, :][:, None]
+    ca = chunk[2, :][:, None]
+    cb = chunk[3, :][:, None]
+    cc = chunk[4, :][:, None]
+    op = chunk[5, :][:, None]
+    dx = px - mx  # (CH, P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    e = jnp.exp(power)
+    pre = op * e
+    clamp_gate = pre <= ALPHA_MAX
+    alpha = jnp.minimum(ALPHA_MAX, pre)
+    keep = (power <= 0) & (alpha >= ALPHA_MIN) & smask
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, e, clamp_gate & keep, dx, dy
+
+
+def _fwd_kernel(
+    counts_ref,
+    feats_ref,
+    accum_ref,
+    logt_ref,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    K = feats_ref.shape[2]
+    P = tile_h * tile_w
+    px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
+
+    nchunks = pl.cdiv(count, chunk)
+
+    def body(j, carry):
+        accum, logt = carry  # (ACCUM_DIM, P), (1, P)
+        k0 = j * chunk
+        cf = feats_ref[0, :, pl.ds(k0, chunk)]  # (FEAT_DIM, CH)
+        slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        smask = slot < count  # (CH, 1)
+        alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)
+        l = jnp.log1p(-alpha)  # (CH, P)
+        cum = _prefix_sum(l)
+        log_t_before = logt + cum - l  # exclusive prefix + carry
+        w = alpha * jnp.exp(log_t_before)  # (CH, P)
+        rgbd = cf[6:10, :]  # (4, CH)
+        accum = accum + jax.lax.dot_general(
+            rgbd,
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logt = logt + cum[-1:, :]
+        return accum, logt
+
+    accum0 = jnp.zeros((ACCUM_DIM, P), jnp.float32)
+    logt0 = jnp.zeros((1, P), jnp.float32)
+    accum, logt = jax.lax.fori_loop(0, nchunks, body, (accum0, logt0))
+    accum_ref[0] = accum
+    logt_ref[0] = logt
+
+
+def _bwd_kernel(
+    counts_ref,
+    feats_ref,
+    logt_final_ref,
+    g_accum_ref,
+    g_logt_ref,
+    grad_ref,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    K = feats_ref.shape[2]
+    P = tile_h * tile_w
+    px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
+
+    logt_final = logt_final_ref[0]  # (1, P)
+    g_accum = g_accum_ref[0]  # (ACCUM_DIM, P)
+    g_logt = g_logt_ref[0]  # (1, P)
+
+    grad_ref[0] = jnp.zeros((FEAT_DIM, K), jnp.float32)
+
+    nchunks = pl.cdiv(count, chunk)
+
+    def body(jj, carry):
+        s_after, b_after = carry  # (1, P) suffix log(1-a), (1, P) suffix w*dLdw
+        j = nchunks - 1 - jj
+        k0 = j * chunk
+        cf = feats_ref[0, :, pl.ds(k0, chunk)]  # (FEAT_DIM, CH)
+        slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        smask = slot < count
+        alpha, e, pgate, dx, dy = _chunk_alpha(cf, px, py, smask)
+        l = jnp.log1p(-alpha)
+        cum = _prefix_sum(l)  # inclusive prefix within chunk
+        rcum = cum[-1:, :] - cum + l  # inclusive suffix within chunk
+        log_t_before = logt_final - (s_after + rcum)
+        t_before = jnp.exp(log_t_before)
+        w = alpha * t_before
+
+        rgbd = cf[6:10, :]  # (4, CH)
+        # dL/dw_k per pixel = sum_c g_c * c_k  -> (CH, P) matmul
+        dldw = jax.lax.dot_general(
+            rgbd,
+            g_accum,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # contracts channel axis: (CH, P)
+        wd = w * dldw
+        cw = _prefix_sum(wd)
+        # exclusive suffix of w*dLdw over ALL later gaussians
+        b_k = b_after + (cw[-1:, :] - cw)
+        one_m = 1.0 - alpha  # >= 0.01 wherever alpha participates
+        dalpha = t_before * dldw - (b_k + g_logt) / one_m
+        dalpha = jnp.where(alpha > 0, dalpha, 0.0)
+
+        op = cf[5, :][:, None]
+        pre = op * e
+        dop = dalpha * jnp.where(pgate, e, 0.0)
+        dpower = dalpha * jnp.where(pgate, pre, 0.0)
+        ca = cf[2, :][:, None]
+        cb = cf[3, :][:, None]
+        cc = cf[4, :][:, None]
+        da = dpower * (-0.5 * dx * dx)
+        db = dpower * (-dx * dy)
+        dc = dpower * (-0.5 * dy * dy)
+        ddx = dpower * (-ca * dx - cb * dy)
+        ddy = dpower * (-cc * dy - cb * dx)
+
+        def rsum(x):  # (CH, P) -> (CH, 1) -> row (1, CH)
+            return jnp.sum(x, axis=1)[None, :]
+
+        # color/depth grads: (CH, P) @ (P, ACCUM) via contraction on P
+        dcol = jax.lax.dot_general(
+            w,
+            g_accum,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CH, ACCUM_DIM)
+
+        gblock = jnp.concatenate(
+            [
+                rsum(-ddx),  # d mean_x
+                rsum(-ddy),  # d mean_y
+                rsum(da),
+                rsum(db),
+                rsum(dc),
+                rsum(dop),
+                dcol.T,  # (4, CH): d r, g, b, depth
+                jnp.zeros((FEAT_DIM - 10, chunk), jnp.float32),
+            ],
+            axis=0,
+        )  # (FEAT_DIM, CH)
+        grad_ref[0, :, pl.ds(k0, chunk)] = gblock
+
+        s_after = s_after + cum[-1:, :]
+        b_after = b_after + cw[-1:, :]
+        return s_after, b_after
+
+    zero = jnp.zeros((1, P), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret")
+)
+def composite_tiles_pallas(
+    tile_feats: jnp.ndarray,
+    counts: jnp.ndarray,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Forward compositing. tile_feats (T, FEAT_DIM, K), counts (T,) int32.
+
+    Returns accum (T, ACCUM_DIM, P) and final log-transmittance (T, 1, P).
+    """
+    T, F, K = tile_feats.shape
+    assert F == FEAT_DIM and K % chunk == 0
+    P = tile_h * tile_w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, F, K), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
+    )
+    accum, logt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, ACCUM_DIM, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * K * P * 12,
+            bytes_accessed=T * (F * K + ACCUM_DIM * P + P) * 4,
+            transcendentals=3 * T * K * P,
+        ),
+    )(counts, tile_feats)
+    return accum, logt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret")
+)
+def composite_tiles_pallas_bwd(
+    tile_feats: jnp.ndarray,
+    counts: jnp.ndarray,
+    logt_final: jnp.ndarray,
+    g_accum: jnp.ndarray,
+    g_logt: jnp.ndarray,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K)."""
+    T, F, K = tile_feats.shape
+    assert F == FEAT_DIM and K % chunk == 0
+    P = tile_h * tile_w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, F, K), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, F, K), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((T, F, K), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * K * P * 30,
+            bytes_accessed=T * (2 * F * K + 2 * ACCUM_DIM * P + 2 * P) * 4,
+            transcendentals=3 * T * K * P,
+        ),
+    )(counts, tile_feats, logt_final, g_accum, g_logt)
+
+
+def composite_tiles_xla(
+    tile_feats: jnp.ndarray,
+    counts: jnp.ndarray,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+):
+    """Pure-XLA twin of the Pallas forward (any backend, differentiable).
+
+    Identical math on full-K blocks, `lax.map` over tiles to bound memory.
+    Used as the CPU/GPU fallback and as the test oracle for the kernels.
+    """
+    T, F, K = tile_feats.shape
+    P = tile_h * tile_w
+
+    def one_tile(args):
+        cf, count, tile_idx = args  # (F, K), (), ()
+        px, py = _pixel_coords(tile_idx, tiles_x, tile_h, tile_w)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        smask = slot < count
+        alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)
+        l = jnp.log1p(-alpha)
+        cum = jnp.cumsum(l, axis=0)
+        w = alpha * jnp.exp(cum - l)
+        rgbd = cf[6:10, :]
+        accum = rgbd @ w  # (4, P)
+        logt = cum[-1:, :]
+        return accum, logt
+
+    tile_idxs = jnp.arange(T, dtype=jnp.int32)
+    accum, logt = jax.lax.map(
+        one_tile, (tile_feats, counts, tile_idxs), batch_size=min(T, 64)
+    )
+    return accum, logt

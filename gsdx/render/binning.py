@@ -1,0 +1,136 @@
+"""Tile binning: map screen-space Gaussians to fixed-capacity per-tile lists.
+
+TPU-native replacement for the CUDA rasterizer's duplicate-and-radix-sort
+binning (each Gaussian is duplicated per touched 16x16 tile and sorted by a
+(tile | depth) key). The CUDA version uses dynamic duplication counts and
+device radix sort; here everything is fixed shape:
+
+  1. Gaussians are argsorted by depth once (XLA sort).
+  2. Each Gaussian emits up to ``max_dup`` (tile, depth-rank) pairs covering
+     its tile bbox (row-major over the bbox, so the slot -> tile mapping
+     adapts to the bbox aspect ratio per Gaussian).
+  3. One stable sort of the N*max_dup pair keys groups pairs by tile while
+     preserving depth order within a tile.
+  4. Per-tile segments are gathered into a dense (num_tiles, K) index table
+     plus counts; tiles with more than K Gaussians keep the K nearest
+     (truncation drops the most-occluded).
+
+All outputs are integer index tables — non-differentiable by construction;
+gradients flow through the feature gather that consumes them.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.struct
+import jax.numpy as jnp
+
+
+class TileGrid(NamedTuple):
+    """Static tile layout. tile_h x tile_w pixel tiles over an H x W image."""
+
+    height: int
+    width: int
+    tile_h: int
+    tile_w: int
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_y * self.tiles_x
+
+
+@flax.struct.dataclass
+class TileBins:
+    """Per-tile Gaussian lists in front-to-back depth order.
+
+    gauss_idx: (num_tiles, K) int32 indices into the original Gaussian arrays
+               (arbitrary for slots >= counts[t]).
+    counts:    (num_tiles,) int32, clamped to K.
+    """
+
+    gauss_idx: jnp.ndarray
+    counts: jnp.ndarray
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid: TileGrid,
+    max_per_tile: int,
+    max_dup: int = 32,
+) -> TileBins:
+    """Build per-tile depth-ordered Gaussian index lists.
+
+    Gaussians whose bbox covers more than ``max_dup`` tiles are truncated
+    (row-major from the bbox top-left). With the default 8x128 tiles this
+    admits splats covering up to ~16 tile rows at 2 columns; the tracking
+    pipeline prunes "big points" far below that (`src/tracking/external.py:287`).
+    """
+    n = mean2d.shape[0]
+    T = grid.num_tiles
+    tx, ty = grid.tiles_x, grid.tiles_y
+
+    # Keys must fit int32: (T+1) * n_pad < 2^31.
+    n_pad = n
+    assert (T + 1) * n_pad < 2**31 - 1, "tile/gaussian count overflows int32 keys"
+
+    # Depth-sorted gaussian order (masked gaussians last).
+    order = jnp.argsort(jnp.where(mask, depth, jnp.inf)).astype(jnp.int32)  # (n,)
+    mean2d_s = mean2d[order]
+    radius_s = radius[order]
+    mask_s = mask[order]
+
+    # Tile bbox per gaussian, [x0, x1) x [y0, y1), matching CUDA getRect.
+    mx, my = mean2d_s[:, 0], mean2d_s[:, 1]
+    r = radius_s
+    x0 = jnp.clip(jnp.floor((mx - r) / grid.tile_w), 0, tx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / grid.tile_h), 0, ty).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + r) / grid.tile_w) + 1, 0, tx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + r) / grid.tile_h) + 1, 0, ty).astype(jnp.int32)
+    bw = jnp.maximum(x1 - x0, 0)
+    bh = jnp.maximum(y1 - y0, 0)
+    n_touched = bw * bh
+
+    slots = jnp.arange(max_dup, dtype=jnp.int32)  # (max_dup,)
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    di = slots[None, :] // bw_safe  # (n, max_dup)
+    dj = slots[None, :] % bw_safe
+    tile_id = (y0[:, None] + di) * tx + (x0[:, None] + dj)
+    valid = mask_s[:, None] & (slots[None, :] < n_touched[:, None])
+    tile_id = jnp.where(valid, tile_id, T)
+
+    rank = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)
+    )
+    key = tile_id.reshape(-1) * jnp.int32(n_pad) + rank.reshape(-1)
+
+    # Pairs are generated rank-major, so a plain sort by key yields depth
+    # order within each tile.
+    sort_idx = jnp.argsort(key)
+    pair_rank = rank.reshape(-1)[sort_idx]  # (n*max_dup,)
+    pair_tile = key[sort_idx] // jnp.int32(n_pad)
+
+    counts_full = jnp.bincount(pair_tile, length=T + 1)[:T].astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_full)[:-1].astype(jnp.int32)]
+    )
+    counts = jnp.minimum(counts_full, max_per_tile)
+
+    k_idx = jnp.arange(max_per_tile, dtype=jnp.int32)
+    gather = starts[:, None] + k_idx[None, :]  # (T, K)
+    gather = jnp.clip(gather, 0, n * max_dup - 1)
+    tile_rank = pair_rank[gather]  # (T, K) ranks in depth order
+    gauss_idx = order[tile_rank]  # (T, K) original gaussian ids
+
+    return TileBins(gauss_idx=gauss_idx, counts=counts)

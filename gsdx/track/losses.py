@@ -1,0 +1,228 @@
+"""Dynamic-GS tracking losses (reference `src/tracking/train_utils.py:167-246`).
+
+All losses operate on fixed-capacity arrays with liveness/foreground masks
+instead of boolean indexing (which would change shapes under jit). Masked
+means divide by the mask population, reproducing the reference's means over
+dynamically-sized subsets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsdx.core.cameras import Camera
+from gsdx.core.gaussians import GaussianParams, TrackingVariables
+from gsdx.core.transforms import quat_multiply, quat_normalize, quat_to_rotmat
+from gsdx.render.rasterize import RasterizeConfig, rasterize
+from gsdx.render.renderer import params_to_rendervar
+
+
+class LossWeights(NamedTuple):
+    """Defaults from the tracking CLI (`src/tracking/train_gs.py:55-62`)."""
+
+    im: float = 50.0
+    seg: float = 200.0
+    rigid: float = 200.0
+    bg: float = 200.0
+    iso: float = 1000.0
+    rot: float = 4.0
+    floor: float = 2.0
+    soft_col_cons: float = 0.01  # computed as 0 in the reference (train_utils.py:232)
+
+
+def l1_loss(x, y):
+    return jnp.abs(x - y).mean()
+
+
+def _masked_mean(x, mask, eps=1e-8):
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), eps)
+
+
+def weighted_l2_v1(x, y, w, mask):
+    """sqrt((x-y)^2 * w + 1e-20), masked mean (`helpers.py:66-67`)."""
+    v = jnp.sqrt((x - y) ** 2 * w + 1e-20)
+    return _masked_mean(v, mask)
+
+
+def weighted_l2_v2(x, y, w, mask):
+    """sqrt(sum_last((x-y)^2) * w + 1e-20), masked mean (`helpers.py:70-71`)."""
+    v = jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1) * w + 1e-20)
+    return _masked_mean(v, mask)
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+_WINDOW = _gaussian_window()
+
+
+def _filter2d(img: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 11x11 Gaussian filter over (C, H, W), SAME padding."""
+    c = img.shape[0]
+    w = jnp.asarray(_WINDOW)[None, None].repeat(c, axis=0)  # (C,1,11,11)
+    return jax.lax.conv_general_dilated(
+        img[None],
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]
+
+
+def calc_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """11x11 Gaussian-window SSIM, sigma 1.5 (`src/tracking/external.py:101-135`)."""
+    mu1 = _filter2d(img1)
+    mu2 = _filter2d(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _filter2d(img1 * img1) - mu1_sq
+    sigma2_sq = _filter2d(img2 * img2) - mu2_sq
+    sigma12 = _filter2d(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return ssim_map.mean()
+
+
+def calc_psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+@flax.struct.dataclass
+class LossAux:
+    """Side outputs threaded back to the optimizer step."""
+
+    radius: jnp.ndarray  # (N,)
+    seen: jnp.ndarray  # (N,) bool
+    psnr: jnp.ndarray  # scalar (color render vs target)
+    losses: dict  # name -> scalar
+
+
+def tracking_loss(
+    params: GaussianParams,
+    mean2d_dummy: jnp.ndarray,
+    camera: Camera,
+    target_im: jnp.ndarray,
+    target_seg: jnp.ndarray,
+    variables: TrackingVariables,
+    weights: LossWeights,
+    is_initial_timestep: bool,
+    raster_cfg: RasterizeConfig,
+    with_seg: bool = True,
+):
+    """Total tracking loss for one camera view (`train_utils.py:167-246`).
+
+    mean2d_dummy: (N, 2) zeros; grad w.r.t. it feeds densification stats.
+    Returns (loss, LossAux).
+    """
+    losses = {}
+
+    rendervar = params_to_rendervar(params)
+    out = rasterize(
+        rendervar["means3D"],
+        rendervar["rotations"],
+        rendervar["scales"],
+        rendervar["opacities"],
+        rendervar["colors_precomp"],
+        camera,
+        raster_cfg,
+        live=params.live,
+        mean2d_offset=mean2d_dummy,
+    )
+    # Per-camera affine color correction (`train_utils.py:182`).
+    cid = camera.cam_id
+    im = jnp.exp(params.cam_m[cid])[:, None, None] * out.im + params.cam_c[cid][
+        :, None, None
+    ]
+    losses["im"] = 0.8 * l1_loss(im, target_im) + 0.2 * (1.0 - calc_ssim(im, target_im))
+
+    if with_seg:
+        seg_out = rasterize(
+            rendervar["means3D"],
+            rendervar["rotations"],
+            rendervar["scales"],
+            rendervar["opacities"],
+            params.seg_colors,
+            camera,
+            raster_cfg,
+            live=params.live,
+        )
+        losses["seg"] = 0.8 * l1_loss(seg_out.im, target_seg) + 0.2 * (
+            1.0 - calc_ssim(seg_out.im, target_seg)
+        )
+
+    if not is_initial_timestep:
+        losses.update(_rigidity_losses(params, variables))
+
+    weight_map = {
+        "im": weights.im,
+        "seg": weights.seg,
+        "rigid": weights.rigid,
+        "iso": weights.iso,
+        "rot": weights.rot,
+        "floor": weights.floor,
+        "bg": weights.bg,
+    }
+    loss = sum(weight_map[k] * v for k, v in losses.items())
+
+    aux = LossAux(
+        radius=out.radius,
+        seen=out.radius > 0,
+        psnr=calc_psnr(im, target_im),
+        losses=losses,
+    )
+    return loss, aux
+
+
+def _rigidity_losses(params: GaussianParams, v: TrackingVariables) -> dict:
+    """rigid / rot / iso / floor / bg losses over fixed-shape KNN tables.
+
+    Mirrors `train_utils.py:198-232` with masks instead of fancy indexing:
+    foreground = seg channel 0 > 0.5 (and live); neighbor tables are built
+    once per timestep over foreground points (`initialize_post_first_timestep`,
+    `train_utils.py:354-374`).
+    """
+    is_fg = (params.seg_colors[:, 0] > 0.5) & (params.live > 0)
+    is_bg = (params.seg_colors[:, 0] <= 0.5) & (params.live > 0)
+    fg_f = is_fg.astype(jnp.float32)
+
+    pts = params.means3d  # (N, 3)
+    rot = quat_normalize(params.unnorm_rotations)  # (N, 4)
+
+    rel_rot = quat_multiply(rot, v.prev_inv_rot)  # (N, 4)
+    R = quat_to_rotmat(rel_rot)  # (N, 3, 3)
+
+    nbr_idx = v.neighbor_indices  # (N, K)
+    nbr_pts = pts[nbr_idx]  # (N, K, 3)
+    curr_offset = nbr_pts - pts[:, None]  # (N, K, 3)
+    # Offsets rotated into the previous frame: R^T @ offset.
+    curr_offset_prev = jnp.einsum("nij,nki->nkj", R, curr_offset)
+
+    nbr_mask = v.neighbor_valid * fg_f[:, None]  # (N, K)
+
+    losses = {}
+    losses["rigid"] = weighted_l2_v2(
+        curr_offset_prev, v.prev_offset, v.neighbor_weight, nbr_mask
+    )
+    losses["rot"] = weighted_l2_v2(
+        rel_rot[nbr_idx], rel_rot[:, None], v.neighbor_weight, nbr_mask
+    )
+    curr_mag = jnp.sqrt(jnp.sum(curr_offset**2, axis=-1) + 1e-20)
+    losses["iso"] = weighted_l2_v1(curr_mag, v.neighbor_dist, v.neighbor_weight, nbr_mask)
+    losses["floor"] = _masked_mean(jnp.maximum(pts[:, 1], 0.0), fg_f)
+    bg_f = is_bg.astype(jnp.float32)
+    losses["bg"] = _masked_mean(
+        jnp.sum(jnp.abs(pts - v.init_bg_pts), axis=-1), bg_f
+    ) + _masked_mean(jnp.sum(jnp.abs(rot - v.init_bg_rot), axis=-1), bg_f)
+    return losses

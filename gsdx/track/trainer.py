@@ -1,0 +1,299 @@
+"""Dynamic-GS tracking driver: per-timestep scan-compiled optimization.
+
+TPU re-design of `src/tracking/train_gs.py:10-46`:
+
+  * the reference's python per-iteration loop (render -> backward -> densify
+    -> Adam step) becomes one `lax.scan` per timestep, compiled once;
+  * camera selection without replacement is a precomputed permutation array;
+  * densification runs inside the scan via `lax.cond` on fixed-capacity
+    buffers (see `gsdx/track/densify.py`);
+  * timestep warm-starting, KNN table building, and parameter snapshots stay
+    at host level (dozens of events per sequence, not hot).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsdx.core.cameras import Camera
+from gsdx.core.gaussians import (
+    GaussianParams,
+    TrackingVariables,
+    init_tracking_variables,
+)
+from gsdx.core.transforms import quat_conjugate, quat_normalize
+from gsdx.kernels.knn import knn
+from gsdx.render.rasterize import RasterizeConfig
+from gsdx.track.densify import (
+    DensifyConfig,
+    accumulate_densify_stats,
+    densify_step,
+    reset_opacities,
+)
+from gsdx.track.losses import LossWeights, tracking_loss
+from gsdx.track.optimizer import AdamState, GroupAdam, tracking_lrs
+
+
+class TrackingConfig(NamedTuple):
+    iters_first: int = 10000  # `train_gs.py:25`
+    iters_rest: int = 2000
+    num_knn: int = 20
+    weights: LossWeights = LossWeights()
+    densify: DensifyConfig = DensifyConfig()
+    raster: RasterizeConfig = RasterizeConfig()
+    seed: int = 0
+
+
+def _index_pytree(tree, i):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
+    """Build the jitted scan over one timestep's optimization iterations."""
+    adam = GroupAdam()
+
+    def loss_fn(params, m2d, cam, im, seg, variables):
+        return tracking_loss(
+            params, m2d, cam, im, seg, variables, cfg.weights,
+            is_initial_timestep=is_initial, raster_cfg=cfg.raster,
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    @jax.jit
+    def fit(params, opt_state, variables, lrs, cams, ims, segs, cam_order, key):
+        def step(carry, inputs):
+            params, opt_state, variables = carry
+            cam_idx, i, key = inputs
+            cam = _index_pytree(cams, cam_idx)
+            im = ims[cam_idx]
+            seg = segs[cam_idx]
+            m2d = jnp.zeros_like(params.means3d[:, :2])
+            (loss, aux), (g_params, g_m2d) = grad_fn(
+                params, m2d, cam, im, seg, variables
+            )
+
+            if is_initial:
+                variables = jax.lax.cond(
+                    i <= 5000,
+                    lambda v: accumulate_densify_stats(
+                        v, g_m2d, aux.seen, aux.radius, cams.width, cams.height
+                    ),
+                    lambda v: v,
+                    variables,
+                )
+                do_densify = (i >= 500) & (i % 100 == 0) & (i <= 5000)
+                params, variables, opt_state = jax.lax.cond(
+                    do_densify,
+                    lambda p, v, o: densify_step(p, v, o, key, i, cfg.densify),
+                    lambda p, v, o: (p, v, o),
+                    params, variables, opt_state,
+                )
+                do_reset = (i > 0) & (i % 3000 == 0) & (i <= 5000)
+                params, opt_state = jax.lax.cond(
+                    do_reset,
+                    lambda p, o: reset_opacities(p, o),
+                    lambda p, o: (p, o),
+                    params, opt_state,
+                )
+
+            params, opt_state = adam.update(g_params, opt_state, params, lrs)
+            out = {"loss": loss, "psnr": aux.psnr, "num_pts": params.num_live}
+            return (params, opt_state, variables), out
+
+        keys = jax.random.split(key, num_iters)
+        iters = jnp.arange(num_iters, dtype=jnp.int32)
+        (params, opt_state, variables), logs = jax.lax.scan(
+            step, (params, opt_state, variables), (cam_order, iters, keys)
+        )
+        return params, opt_state, variables, logs
+
+    return fit
+
+
+def camera_order(num_iters: int, num_cams: int, rng: np.random.Generator):
+    """Random-without-replacement camera schedule (`get_batch`,
+    `src/tracking/train_utils.py:82-86`)."""
+    reps = -(-num_iters // num_cams)
+    order = np.concatenate([rng.permutation(num_cams) for _ in range(reps)])
+    return jnp.asarray(order[:num_iters].astype(np.int32))
+
+
+def initialize_per_timestep(params: GaussianParams, variables: TrackingVariables,
+                            opt_state: AdamState):
+    """Momentum warm start + rigidity reference state (`train_utils.py:331-351`).
+
+    Also zeroes Adam moments for means3d/rotations, matching
+    `update_params_and_optimizer` (`external.py:145-158`).
+    """
+    pts = params.means3d
+    rot = quat_normalize(params.unnorm_rotations)
+    new_pts = pts + (pts - variables.prev_pts)
+    new_rot = quat_normalize(rot + (rot - variables.prev_rot))
+
+    prev_inv_rot = quat_conjugate(rot)
+    nbr_pts = pts[variables.neighbor_indices]  # (N, K, 3)
+    prev_offset = nbr_pts - pts[:, None]
+
+    variables = variables.replace(
+        prev_inv_rot=prev_inv_rot,
+        prev_offset=prev_offset,
+        prev_pts=pts,
+        prev_rot=rot,
+    )
+    params = params.replace(means3d=new_pts, unnorm_rotations=new_rot)
+    zeros3 = jnp.zeros_like(pts)
+    zeros4 = jnp.zeros_like(rot)
+    opt_state = opt_state.replace(
+        mu=opt_state.mu.replace(means3d=zeros3, unnorm_rotations=zeros4),
+        nu=opt_state.nu.replace(means3d=zeros3, unnorm_rotations=zeros4),
+    )
+    return params, variables, opt_state
+
+
+def initialize_post_first_timestep(
+    params: GaussianParams, variables: TrackingVariables, num_knn: int = 20
+):
+    """KNN tables + background anchors after t=0 (`train_utils.py:354-374`)."""
+    is_fg = (params.seg_colors[:, 0] > 0.5) & (params.live > 0)
+    sq_dist, idx = knn(params.means3d, num_knn, valid=is_fg)
+    rot = quat_normalize(params.unnorm_rotations)
+    variables = variables.replace(
+        neighbor_indices=idx,
+        neighbor_weight=jnp.exp(-2000.0 * sq_dist),
+        neighbor_dist=jnp.sqrt(sq_dist),
+        neighbor_valid=jnp.broadcast_to(
+            is_fg[:, None], idx.shape
+        ).astype(jnp.float32),
+        init_bg_pts=params.means3d,
+        init_bg_rot=rot,
+        prev_pts=params.means3d,
+        prev_rot=rot,
+    )
+    return variables
+
+
+def compact_params(params: GaussianParams, variables: TrackingVariables,
+                   pad_to: int = 128):
+    """Repack live Gaussians to the front and shrink capacity.
+
+    Called once after the initial timestep: densification only runs at t=0
+    (`train_gs.py:33-35`), so the live count is static afterwards. Shrinking
+    removes dead-slot work from the remaining (T-1) * 2000 iterations.
+    """
+    live = np.asarray(params.live) > 0
+    keep = np.nonzero(live)[0]
+    n = len(keep)
+    cap = int(-(-n // pad_to) * pad_to)
+
+    def pack(arr, fill=0.0):
+        arr = np.asarray(arr)
+        if arr.ndim >= 1 and arr.shape[0] == live.shape[0]:
+            out = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[:n] = arr[keep]
+            return jnp.asarray(out)
+        return jnp.asarray(arr)
+
+    new_params = jax.tree.map(pack, params)
+    new_live = np.zeros((cap,), np.float32)
+    new_live[:n] = 1.0
+    new_params = new_params.replace(
+        live=jnp.asarray(new_live),
+        log_scales=pack(params.log_scales, fill=-20.0),
+    )
+    new_vars = init_tracking_variables(
+        cap, variables.neighbor_indices.shape[1], variables.scene_radius
+    )
+    return new_params, new_vars
+
+
+def track_sequence(
+    params: GaussianParams,
+    cams: Camera,
+    ims: jnp.ndarray,  # (T, C, 3, H, W) or callable t -> (C,3,H,W)
+    segs: jnp.ndarray,
+    num_timesteps: int,
+    cfg: TrackingConfig = TrackingConfig(),
+    scene_radius: float = 1.0,
+    progress: bool = False,
+):
+    """Full tracking loop over a sequence (`train_gs.py:10-46`).
+
+    ims/segs may be arrays indexed by timestep or callables returning the
+    per-timestep stack (for sequences too large for host memory).
+    Returns a list of per-timestep host param snapshots (params2cpu
+    equivalent, `helpers.py:141-147`).
+    """
+    rng = np.random.default_rng(cfg.seed)
+    adam = GroupAdam()
+    variables = init_tracking_variables(params.capacity, cfg.num_knn, scene_radius)
+    opt_state = adam.init(params)
+    lrs = tracking_lrs(scene_radius, post_first_timestep=False)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    num_cams = np.asarray(ims(0) if callable(ims) else ims[0]).shape[0]
+    output_params = []
+
+    fit_first = make_fit_timestep(cfg, is_initial=True, num_iters=cfg.iters_first)
+    fit_rest = None
+
+    for t in range(num_timesteps):
+        t_ims = ims(t) if callable(ims) else ims[t]
+        t_segs = segs(t) if callable(segs) else segs[t]
+        is_initial = t == 0
+        if not is_initial:
+            params, variables, opt_state = initialize_per_timestep(
+                params, variables, opt_state
+            )
+        num_iters = cfg.iters_first if is_initial else cfg.iters_rest
+        order = camera_order(num_iters, num_cams, rng)
+        key, sub = jax.random.split(key)
+        if is_initial:
+            fit = fit_first
+        else:
+            if fit_rest is None:
+                fit_rest = make_fit_timestep(
+                    cfg, is_initial=False, num_iters=cfg.iters_rest
+                )
+            fit = fit_rest
+        params, opt_state, variables, logs = fit(
+            params, opt_state, variables, lrs, cams, t_ims, t_segs, order, sub
+        )
+        if progress:
+            print(
+                f"[track] t={t} loss={float(logs['loss'][-1]):.5f} "
+                f"psnr={float(logs['psnr'][-1]):.3f} pts={int(logs['num_pts'][-1])}"
+            )
+        output_params.append(snapshot_params(params, full=is_initial))
+        if is_initial:
+            params, variables = compact_params(params, variables)
+            variables = initialize_post_first_timestep(params, variables, cfg.num_knn)
+            opt_state = adam.init(params)
+            lrs = tracking_lrs(scene_radius, post_first_timestep=True)
+            # re-snapshot after compaction so all timesteps share indexing
+            output_params[-1] = snapshot_params(params, full=True)
+    return output_params
+
+
+def snapshot_params(params: GaussianParams, full: bool) -> dict:
+    """Host copy; t=0 keeps everything, later steps only moving fields
+    (`params2cpu`, `src/tracking/helpers.py:141-147`)."""
+    live = np.asarray(params.live) > 0
+    out = {
+        "means3D": np.asarray(params.means3d)[live],
+        "rgb_colors": np.asarray(params.rgb_colors)[live],
+        "unnorm_rotations": np.asarray(params.unnorm_rotations)[live],
+    }
+    if full:
+        out.update(
+            seg_colors=np.asarray(params.seg_colors)[live],
+            logit_opacities=np.asarray(params.logit_opacities)[live],
+            log_scales=np.asarray(params.log_scales)[live],
+            cam_m=np.asarray(params.cam_m),
+            cam_c=np.asarray(params.cam_c),
+        )
+    return out

@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+The axon sitecustomize overwrites JAX_PLATFORMS in the environment, so the
+env-var route is not reliable here; `jax.config.update("jax_platforms", ...)`
+takes precedence and must run before any backend is initialized. Real-TPU
+behavior is exercised by bench.py and the driver's compile checks; unit tests
+validate math and sharding on a virtual 8-device CPU mesh (SURVEY.md §4).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,126 @@
+"""Tracking optimizer end-to-end on a tiny synthetic scene.
+
+Mirrors the reference quality signal: PSNR on a train view must rise during
+optimization (`report_progress`, `src/tracking/train_utils.py:377-384`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsdx.core.cameras import make_camera
+from gsdx.core.gaussians import init_gaussian_params, init_tracking_variables
+from gsdx.kernels.knn import knn
+from gsdx.render.rasterize import RasterizeConfig, rasterize
+from gsdx.render.renderer import params_to_rendervar
+from gsdx.track.densify import DensifyConfig
+from gsdx.track.losses import LossWeights, calc_psnr
+from gsdx.track.optimizer import GroupAdam, tracking_lrs
+from gsdx.track.trainer import (
+    TrackingConfig,
+    camera_order,
+    compact_params,
+    initialize_per_timestep,
+    initialize_post_first_timestep,
+    make_fit_timestep,
+)
+
+H, W = 32, 64
+CFG_RASTER = RasterizeConfig(tile_h=8, tile_w=128, max_per_tile=128, backend="xla")
+
+
+def make_cams():
+    k = np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]], np.float32)
+    cams = []
+    for ang in [0.0, 0.4, -0.4]:
+        c, s = np.cos(ang), np.sin(ang)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        w2c[2, 3] = 0.0
+        cams.append(make_camera(k, w2c, width=W, height=H, bg=(0, 0, 0), cam_id=len(cams)))
+    return jax.tree.map(lambda *x: jnp.stack(x), *cams)
+
+
+def make_gt_scene(rng, n=60):
+    pts = rng.uniform(-0.4, 0.4, size=(n, 3)).astype(np.float32)
+    pts[:, 2] = pts[:, 2] * 0.3 + 3.0
+    rgb = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    seg = (rng.uniform(size=n) > 0.3).astype(np.float32)
+    return np.concatenate([pts, rgb, seg[:, None]], axis=1)
+
+
+def render_targets(pt_cld, cams, scales=0.05):
+    n = pt_cld.shape[0]
+    ims, segs = [], []
+    seg_colors = np.stack(
+        [pt_cld[:, 6], np.zeros(n), 1 - pt_cld[:, 6]], axis=-1
+    ).astype(np.float32)
+    for ci in range(3):
+        cam = jax.tree.map(lambda x: x[ci], cams)
+        args = dict(
+            means3d=jnp.asarray(pt_cld[:, :3]),
+            quats=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+            scales=jnp.full((n, 3), scales),
+            opacities=jnp.full((n, 1), 0.95),
+            camera=cam,
+            cfg=CFG_RASTER,
+        )
+        ims.append(rasterize(colors=jnp.asarray(pt_cld[:, 3:6]), **args).im)
+        segs.append(rasterize(colors=jnp.asarray(seg_colors), **args).im)
+    return jnp.stack(ims), jnp.stack(segs)
+
+
+def test_fit_initial_timestep_improves_psnr(rng):
+    pt_cld = make_gt_scene(rng)
+    cams = make_cams()
+    ims, segs = render_targets(pt_cld, cams)
+
+    # init from the true cloud with perturbed positions
+    noisy = pt_cld.copy()
+    noisy[:, :3] += rng.normal(scale=0.01, size=(len(pt_cld), 3)).astype(np.float32)
+    d, _ = knn(jnp.asarray(noisy[:, :3]), 3)
+    params = init_gaussian_params(noisy, np.asarray(d).mean(-1), capacity=256)
+    variables = init_tracking_variables(params.capacity, num_knn=8, scene_radius=1.0)
+
+    cfg = TrackingConfig(
+        iters_first=150, iters_rest=40, num_knn=8,
+        raster=CFG_RASTER,
+        densify=DensifyConfig(),
+    )
+    adam = GroupAdam()
+    opt_state = adam.init(params)
+    lrs = tracking_lrs(1.0, post_first_timestep=False)
+    fit = make_fit_timestep(cfg, is_initial=True, num_iters=cfg.iters_first)
+    order = camera_order(cfg.iters_first, 3, np.random.default_rng(0))
+    key = jax.random.PRNGKey(0)
+
+    params2, opt_state2, variables2, logs = fit(
+        params, opt_state, variables, lrs, cams, ims, segs, order, key
+    )
+    psnr = np.asarray(logs["psnr"])
+    assert np.isfinite(psnr).all()
+    assert psnr[-10:].mean() > psnr[:10].mean() + 1.0, (
+        f"PSNR did not improve: {psnr[:10].mean()} -> {psnr[-10:].mean()}"
+    )
+
+    # second timestep machinery: compaction, KNN tables, warm start, rigidity
+    params3, variables3 = compact_params(params2, variables2)
+    assert params3.capacity <= params2.capacity
+    variables3 = initialize_post_first_timestep(params3, variables3, num_knn=8)
+    params4, variables4, opt_state4 = initialize_per_timestep(
+        params3, variables3, adam.init(params3)
+    )
+    fit_rest = make_fit_timestep(cfg, is_initial=False, num_iters=cfg.iters_rest)
+    lrs_rest = tracking_lrs(1.0, post_first_timestep=True)
+    order = camera_order(cfg.iters_rest, 3, np.random.default_rng(1))
+    params5, _, _, logs5 = fit_rest(
+        params4, opt_state4, variables4, lrs_rest, cams, ims, segs, order, key
+    )
+    assert np.isfinite(np.asarray(logs5["loss"])).all()
+    # frozen params must not move after the first timestep
+    np.testing.assert_array_equal(
+        np.asarray(params5.logit_opacities), np.asarray(params4.logit_opacities)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params5.log_scales), np.asarray(params4.log_scales)
+    )

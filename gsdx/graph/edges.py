@@ -1,0 +1,96 @@
+"""Radius-graph edge construction (reference `src/data/dataset.py:88-216`).
+
+Produces the dense one-hot relation matrices Rr, Rs in (max_nR, N) form the
+GNN consumes via matmuls. The reference enumerates edges with a dynamic
+`nonzero` and allocates (n_rels, N); here the adjacency matrix is packed into
+a fixed max_nR edge budget with a stable argsort (row-major edge order is
+preserved, matching torch nonzero ordering). Fully jit/vmap-safe.
+
+Semantics preserved:
+  * squared-distance threshold adj_thresh^2;
+  * no invalid-particle edges, no tool-tool edges;
+  * top-k nearest constraint applied only among object-object pairs
+    (the object block is states[:n_obj]);
+  * connect_all adds all object<->tool edges (cloth/sloth configs).
+
+Self-edges: the reference keeps them (distance 0 always passes the threshold
+and is its own nearest neighbor) and the GNN tolerates them; we match. (Its
+`plan.py:91,126` passes a nonexistent `no_self_edge` kwarg — a latent
+TypeError we do not reproduce, see SURVEY.md §7.5.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+@functools.partial(jax.jit, static_argnames=("n_obj", "topk", "max_nR", "connect_all"))
+def construct_edges(
+    states: jnp.ndarray,  # (N, 3)
+    adj_thresh: jnp.ndarray,  # scalar
+    mask: jnp.ndarray,  # (N,) bool: valid particles
+    tool_mask: jnp.ndarray,  # (N,) bool: valid tool particles
+    n_obj: int,  # static object-slot count (tools occupy slots >= n_obj)
+    topk: int = 10,
+    max_nR: int = 500,
+    connect_all: bool = False,
+):
+    """Returns (Rr, Rs) with shape (max_nR, N), float32 one-hot rows."""
+    N = states.shape[0]
+    diff = states[:, None, :] - states[None, :, :]
+    dis = jnp.sum(diff * diff, axis=-1)  # (N, N)
+
+    mask12 = mask[:, None] & mask[None, :]
+    dis = jnp.where(mask12, dis, _BIG)
+    tool12 = tool_mask[:, None] & tool_mask[None, :]
+    dis = jnp.where(tool12, _BIG, dis)
+
+    adj = dis < adj_thresh * adj_thresh
+
+    # top-k constraint among object-object (`dataset.py:117-132`)
+    k = min(topk, n_obj)
+    dis_obj = dis[:n_obj, :n_obj]
+    _, topk_idx = jax.lax.top_k(-dis_obj, k)
+    topk_mask = jnp.zeros((n_obj, n_obj), bool)
+    rows = jnp.broadcast_to(jnp.arange(n_obj)[:, None], (n_obj, k))
+    topk_mask = topk_mask.at[rows, topk_idx].set(True)
+    adj = adj.at[:n_obj, :n_obj].set(adj[:n_obj, :n_obj] & topk_mask)
+
+    if connect_all:
+        obj_tool_1 = tool_mask[:, None] & mask[None, :]  # tool receiver
+        obj_tool_2 = tool_mask[None, :] & mask[:, None]  # tool sender
+        adj = adj | obj_tool_1 | obj_tool_2
+        adj = jnp.where(tool12, False, adj)
+        adj = adj & mask12
+
+    # pack set bits (row-major) into max_nR slots
+    flat = adj.reshape(-1)
+    order = jnp.argsort(~flat, stable=True).astype(jnp.int32)  # set bits first
+    n_rels = jnp.sum(flat).astype(jnp.int32)
+    e_idx = jnp.arange(max_nR, dtype=jnp.int32)
+    pos = order[jnp.minimum(e_idx, N * N - 1)]
+    valid = e_idx < jnp.minimum(n_rels, max_nR)
+    r = pos // N
+    s = pos % N
+    onehot = jnp.arange(N, dtype=jnp.int32)
+    Rr = (r[:, None] == onehot[None, :]) & valid[:, None]
+    Rs = (s[:, None] == onehot[None, :]) & valid[:, None]
+    return Rr.astype(jnp.float32), Rs.astype(jnp.float32)
+
+
+def construct_edges_batch(states, adj_thresh, mask, tool_mask, n_obj, topk=10,
+                          max_nR=500, connect_all=False):
+    """vmapped batch variant (`construct_edges_from_states_batch`,
+    `src/data/dataset.py:149-216`). adj_thresh may be scalar or (B,)."""
+    B = states.shape[0]
+    adj_thresh = jnp.broadcast_to(jnp.asarray(adj_thresh, jnp.float32), (B,))
+    fn = functools.partial(
+        construct_edges, n_obj=n_obj, topk=topk, max_nR=max_nR,
+        connect_all=connect_all,
+    )
+    return jax.vmap(fn)(states, adj_thresh, mask, tool_mask)

@@ -96,6 +96,7 @@ def _chunk_alpha(chunk, px, py, smask):
 
 def _fwd_kernel(
     counts_ref,
+    tile_ids_ref,
     feats_ref,
     accum_ref,
     logt_ref,
@@ -105,8 +106,9 @@ def _fwd_kernel(
     tile_w: int,
     chunk: int,
 ):
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    i = pl.program_id(0)
+    t = tile_ids_ref[i]  # global tile id (differs from i under shard_map)
+    count = counts_ref[i]
     K = feats_ref.shape[2]
     P = tile_h * tile_w
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
@@ -143,6 +145,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     counts_ref,
+    tile_ids_ref,
     feats_ref,
     logt_final_ref,
     g_accum_ref,
@@ -154,8 +157,9 @@ def _bwd_kernel(
     tile_w: int,
     chunk: int,
 ):
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    i = pl.program_id(0)
+    t = tile_ids_ref[i]
+    count = counts_ref[i]
     K = feats_ref.shape[2]
     P = tile_h * tile_w
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
@@ -258,23 +262,28 @@ def composite_tiles_pallas(
     tile_w: int,
     chunk: int = 128,
     interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
 ):
     """Forward compositing. tile_feats (T, FEAT_DIM, K), counts (T,) int32.
 
+    tile_ids maps array rows to global tile indices for pixel-coordinate
+    computation (defaults to arange; sharded callers pass their slice).
     Returns accum (T, ACCUM_DIM, P) and final log-transmittance (T, 1, P).
     """
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
     P = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, F, K), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(
@@ -293,7 +302,7 @@ def composite_tiles_pallas(
             bytes_accessed=T * (F * K + ACCUM_DIM * P + P) * 4,
             transcendentals=3 * T * K * P,
         ),
-    )(counts, tile_feats)
+    )(counts, tile_ids, tile_feats)
     return accum, logt
 
 
@@ -312,22 +321,25 @@ def composite_tiles_pallas_bwd(
     tile_w: int,
     chunk: int = 128,
     interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
 ):
     """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K)."""
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
     P = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, F, K), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, F, K), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     kernel = functools.partial(
@@ -343,7 +355,7 @@ def composite_tiles_pallas_bwd(
             bytes_accessed=T * (2 * F * K + 2 * ACCUM_DIM * P + 2 * P) * 4,
             transcendentals=3 * T * K * P,
         ),
-    )(counts, tile_feats, logt_final, g_accum, g_logt)
+    )(counts, tile_ids, tile_feats, logt_final, g_accum, g_logt)
 
 
 def composite_tiles_xla(
@@ -354,6 +366,7 @@ def composite_tiles_xla(
     tile_h: int,
     tile_w: int,
     chunk: int = 128,
+    tile_ids: jnp.ndarray | None = None,
 ):
     """Pure-XLA twin of the Pallas forward (any backend, differentiable).
 
@@ -377,7 +390,9 @@ def composite_tiles_xla(
         logt = cum[-1:, :]
         return accum, logt
 
-    tile_idxs = jnp.arange(T, dtype=jnp.int32)
+    tile_idxs = (
+        jnp.arange(T, dtype=jnp.int32) if tile_ids is None else tile_ids
+    )
     accum, logt = jax.lax.map(
         one_tile, (tile_feats, counts, tile_idxs), batch_size=min(T, 64)
     )

@@ -1,0 +1,98 @@
+"""MPPI trajectory optimization (reference `src/real_world/utils/planner.py:38-326`).
+
+One MPPI update iteration (sample -> rollout -> reward -> softmax update,
+tracking the best sample) is a single jitted function; chunked evaluation
+(`plan.py:367-373`: 10 chunks x 1000 samples) maps to either a python loop
+of jit calls or, with `gsdx.dist`, a mesh-sharded batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsdx.plan.actions import optimize_action_mppi, sample_action_seq
+
+
+class MPPIConfig(NamedTuple):
+    n_sample: int = 1000
+    n_look_ahead: int = 1
+    n_update_iter: int = 10
+    reward_weight: float = 500.0  # `plan.py:301`
+    noise_level: float = 0.3
+    push_length: float = 0.01
+    action_lower_lim: tuple = (-0.5, -0.5, -np.pi, 5.0)
+    action_upper_lim: tuple = (0.5, 0.5, np.pi, 20.0)
+
+
+class Planner:
+    """MPPI planner over a batched model-rollout function.
+
+    model_rollout_fn(state_cur, act_seqs) -> {"state_seqs", "action_seqs"}
+    evaluate_traj_fn(state_seqs, act_seqs_decoded, state_cur) ->
+        {"reward_seqs"}
+    """
+
+    def __init__(
+        self,
+        cfg: MPPIConfig,
+        model_rollout_fn: Callable,
+        evaluate_traj_fn: Callable,
+    ):
+        self.cfg = cfg
+        self.lower = jnp.asarray(cfg.action_lower_lim, jnp.float32)
+        self.upper = jnp.asarray(cfg.action_upper_lim, jnp.float32)
+        self._iter = jax.jit(self._make_iter(model_rollout_fn, evaluate_traj_fn))
+
+    def _make_iter(self, model_rollout_fn, evaluate_traj_fn):
+        cfg = self.cfg
+
+        def one_iter(key, state_cur, act_seq, iter_index, best_act, best_reward):
+            act_seqs = sample_action_seq(
+                key, act_seq, self.lower, self.upper, cfg.n_sample,
+                iter_index=iter_index, noise_level=cfg.noise_level,
+                push_length=cfg.push_length,
+            )
+            out = model_rollout_fn(state_cur, act_seqs)
+            eval_out = evaluate_traj_fn(
+                out["state_seqs"], out["action_seqs"], state_cur
+            )
+            rewards = eval_out["reward_seqs"]
+            new_act_seq = optimize_action_mppi(
+                act_seqs, rewards, self.lower, self.upper,
+                reward_weight=cfg.reward_weight, push_length=cfg.push_length,
+            )
+            idx = jnp.argmax(rewards)
+            better = rewards[idx] > best_reward
+            best_act = jnp.where(better, act_seqs[idx], best_act)
+            best_reward = jnp.where(better, rewards[idx], best_reward)
+            return new_act_seq, best_act, best_reward
+
+        return one_iter
+
+    def trajectory_optimization(self, key, state_cur, act_seq):
+        """Returns {"act_seq": best (L, 4), "best_reward": scalar}
+        (`planner.py:236-275`)."""
+        cfg = self.cfg
+        best_act = act_seq
+        best_reward = jnp.asarray(-jnp.inf)
+        for i in range(cfg.n_update_iter):
+            key, sub = jax.random.split(key)
+            act_seq, best_act, best_reward = self._iter(
+                sub, state_cur, act_seq, jnp.asarray(i), best_act, best_reward
+            )
+        return {"act_seq": best_act, "best_reward": best_reward}
+
+    def plan_chunked(self, key, state_cur, init_act_seq, n_chunks: int = 10):
+        """Best-of-chunks planning (`plan.py:367-373` + `merge_res`)."""
+        results = []
+        for c in range(n_chunks):
+            key, sub = jax.random.split(key)
+            results.append(
+                self.trajectory_optimization(sub, state_cur, init_act_seq)
+            )
+        rewards = [float(r["best_reward"]) for r in results]
+        return results[int(np.argmax(rewards))]

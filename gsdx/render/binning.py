@@ -115,17 +115,19 @@ def bin_gaussians(
     )
     key = tile_id.reshape(-1) * jnp.int32(n_pad) + rank.reshape(-1)
 
-    # Pairs are generated rank-major, so a plain sort by key yields depth
-    # order within each tile.
-    sort_idx = jnp.argsort(key)
-    pair_rank = rank.reshape(-1)[sort_idx]  # (n*max_dup,)
-    pair_tile = key[sort_idx] // jnp.int32(n_pad)
+    # Pairs are generated rank-major, so one key sort yields depth order
+    # within each tile; the payload is recoverable as key % n_pad, so no
+    # argsort is needed. Per-tile segment boundaries come from searchsorted
+    # on the sorted keys — TPU scatters (bincount) are orders of magnitude
+    # slower than these binary searches.
+    sorted_key = jnp.sort(key)
+    pair_rank = sorted_key % jnp.int32(n_pad)
 
-    counts_full = jnp.bincount(pair_tile, length=T + 1)[:T].astype(jnp.int32)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_full)[:-1].astype(jnp.int32)]
-    )
-    counts = jnp.minimum(counts_full, max_per_tile)
+    boundaries = jnp.searchsorted(
+        sorted_key, jnp.arange(T + 1, dtype=jnp.int32) * jnp.int32(n_pad)
+    ).astype(jnp.int32)
+    starts = boundaries[:-1]
+    counts = jnp.minimum(boundaries[1:] - starts, max_per_tile)
 
     k_idx = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather = starts[:, None] + k_idx[None, :]  # (T, K)

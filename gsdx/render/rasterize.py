@@ -40,12 +40,19 @@ from gsdx.render.projection import project_gaussians
 
 
 class RasterizeConfig(NamedTuple):
-    """Static rasterizer configuration (hashable; part of jit cache keys)."""
+    """Static rasterizer configuration (hashable; part of jit cache keys).
 
-    tile_h: int = 8
+    Defaults tuned on TPU v5e (tile 16x128, dup 16, K 512): per-tile work
+    (gathers + compositor VMEM) scales with tiles*K, while max_dup bounds
+    the pair-table size; gaussians whose bbox exceeds max_dup tiles get
+    truncated coverage, so keep max_dup >= the expected splat footprint
+    (radius <= ~50 px at 16x128 tiles).
+    """
+
+    tile_h: int = 16
     tile_w: int = 128
-    max_per_tile: int = 1024  # K: per-tile Gaussian capacity (multiple of chunk)
-    max_dup: int = 32  # tile duplicates per Gaussian
+    max_per_tile: int = 512  # K: per-tile Gaussian capacity (multiple of chunk)
+    max_dup: int = 16  # tile duplicates per Gaussian
     chunk: int = 128  # Gaussians per compositing chunk
     backend: str = "auto"  # "auto" | "pallas" | "pallas_interpret" | "xla"
 

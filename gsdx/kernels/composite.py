@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 FEAT_DIM = 16
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
-# accumulated channels: r, g, b, depth
+# default accumulated channels: r, g, b, depth. The kernels are generic over
+# n_accum (= n_color_channels + 1 for depth), letting callers fuse several
+# color targets (e.g. rgb + segmentation) into one pass over the same bins.
 ACCUM_DIM = 4
 
 
@@ -105,6 +107,7 @@ def _fwd_kernel(
     tile_h: int,
     tile_w: int,
     chunk: int,
+    n_accum: int,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]  # global tile id (differs from i under shard_map)
@@ -126,7 +129,7 @@ def _fwd_kernel(
         cum = _prefix_sum(l)
         log_t_before = logt + cum - l  # exclusive prefix + carry
         w = alpha * jnp.exp(log_t_before)  # (CH, P)
-        rgbd = cf[6:10, :]  # (4, CH)
+        rgbd = cf[6:6 + n_accum, :]  # (n_accum, CH)
         accum = accum + jax.lax.dot_general(
             rgbd,
             w,
@@ -136,7 +139,7 @@ def _fwd_kernel(
         logt = logt + cum[-1:, :]
         return accum, logt
 
-    accum0 = jnp.zeros((ACCUM_DIM, P), jnp.float32)
+    accum0 = jnp.zeros((n_accum, P), jnp.float32)
     logt0 = jnp.zeros((1, P), jnp.float32)
     accum, logt = jax.lax.fori_loop(0, nchunks, body, (accum0, logt0))
     accum_ref[0] = accum
@@ -156,6 +159,7 @@ def _bwd_kernel(
     tile_h: int,
     tile_w: int,
     chunk: int,
+    n_accum: int,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]
@@ -165,7 +169,7 @@ def _bwd_kernel(
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
 
     logt_final = logt_final_ref[0]  # (1, P)
-    g_accum = g_accum_ref[0]  # (ACCUM_DIM, P)
+    g_accum = g_accum_ref[0]  # (n_accum, P)
     g_logt = g_logt_ref[0]  # (1, P)
 
     grad_ref[0] = jnp.zeros((FEAT_DIM, K), jnp.float32)
@@ -187,7 +191,7 @@ def _bwd_kernel(
         t_before = jnp.exp(log_t_before)
         w = alpha * t_before
 
-        rgbd = cf[6:10, :]  # (4, CH)
+        rgbd = cf[6:6 + n_accum, :]  # (n_accum, CH)
         # dL/dw_k per pixel = sum_c g_c * c_k  -> (CH, P) matmul
         dldw = jax.lax.dot_general(
             rgbd,
@@ -225,7 +229,7 @@ def _bwd_kernel(
             g_accum,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (CH, ACCUM_DIM)
+        )  # (CH, n_accum)
 
         gblock = jnp.concatenate(
             [
@@ -235,8 +239,8 @@ def _bwd_kernel(
                 rsum(db),
                 rsum(dc),
                 rsum(dop),
-                dcol.T,  # (4, CH): d r, g, b, depth
-                jnp.zeros((FEAT_DIM - 10, chunk), jnp.float32),
+                dcol.T,  # (n_accum, CH): d colors..., depth
+                jnp.zeros((FEAT_DIM - 6 - n_accum, chunk), jnp.float32),
             ],
             axis=0,
         )  # (FEAT_DIM, CH)
@@ -251,7 +255,9 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
+                     "n_accum"),
 )
 def composite_tiles_pallas(
     tile_feats: jnp.ndarray,
@@ -263,6 +269,7 @@ def composite_tiles_pallas(
     chunk: int = 128,
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
+    n_accum: int = ACCUM_DIM,
 ):
     """Forward compositing. tile_feats (T, FEAT_DIM, K), counts (T,) int32.
 
@@ -282,24 +289,25 @@ def composite_tiles_pallas(
             pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
+        _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
+        chunk=chunk, n_accum=n_accum,
     )
     accum, logt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=[
-            jax.ShapeDtypeStruct((T, ACCUM_DIM, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, n_accum, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * K * P * 12,
-            bytes_accessed=T * (F * K + ACCUM_DIM * P + P) * 4,
+            bytes_accessed=T * (F * K + n_accum * P + P) * 4,
             transcendentals=3 * T * K * P,
         ),
     )(counts, tile_ids, tile_feats)
@@ -307,7 +315,9 @@ def composite_tiles_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
+                     "n_accum"),
 )
 def composite_tiles_pallas_bwd(
     tile_feats: jnp.ndarray,
@@ -322,6 +332,7 @@ def composite_tiles_pallas_bwd(
     chunk: int = 128,
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
+    n_accum: int = ACCUM_DIM,
 ):
     """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K)."""
     T, F, K = tile_feats.shape
@@ -335,7 +346,7 @@ def composite_tiles_pallas_bwd(
         in_specs=[
             pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ACCUM_DIM, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -343,7 +354,8 @@ def composite_tiles_pallas_bwd(
         ),
     )
     kernel = functools.partial(
-        _bwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
+        _bwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
+        chunk=chunk, n_accum=n_accum,
     )
     return pl.pallas_call(
         kernel,
@@ -352,7 +364,7 @@ def composite_tiles_pallas_bwd(
         out_shape=jax.ShapeDtypeStruct((T, F, K), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * K * P * 30,
-            bytes_accessed=T * (2 * F * K + 2 * ACCUM_DIM * P + 2 * P) * 4,
+            bytes_accessed=T * (2 * F * K + 2 * n_accum * P + 2 * P) * 4,
             transcendentals=3 * T * K * P,
         ),
     )(counts, tile_ids, tile_feats, logt_final, g_accum, g_logt)
@@ -367,6 +379,7 @@ def composite_tiles_xla(
     tile_w: int,
     chunk: int = 128,
     tile_ids: jnp.ndarray | None = None,
+    n_accum: int = ACCUM_DIM,
 ):
     """Pure-XLA twin of the Pallas forward (any backend, differentiable).
 
@@ -385,8 +398,8 @@ def composite_tiles_xla(
         l = jnp.log1p(-alpha)
         cum = jnp.cumsum(l, axis=0)
         w = alpha * jnp.exp(cum - l)
-        rgbd = cf[6:10, :]
-        accum = rgbd @ w  # (4, P)
+        rgbd = cf[6:6 + n_accum, :]
+        accum = rgbd @ w  # (n_accum, P)
         logt = cum[-1:, :]
         return accum, logt
 

@@ -79,14 +79,17 @@ class RenderOutput:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _composite(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig):
-    return _composite_impl(tile_feats, counts, grid, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _composite(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig,
+               n_accum: int):
+    return _composite_impl(tile_feats, counts, grid, cfg, n_accum)
 
 
-def _composite_impl(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig):
+def _composite_impl(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig,
+                    n_accum: int):
     kwargs = dict(
-        tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w, chunk=cfg.chunk
+        tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
+        chunk=cfg.chunk, n_accum=n_accum,
     )
     if cfg.use_pallas():
         return composite_tiles_pallas(
@@ -95,16 +98,17 @@ def _composite_impl(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig):
     return composite_tiles_xla(tile_feats, counts, **kwargs)
 
 
-def _composite_fwd(tile_feats, counts, grid, cfg):
-    accum, logt = _composite_impl(tile_feats, counts, grid, cfg)
+def _composite_fwd(tile_feats, counts, grid, cfg, n_accum):
+    accum, logt = _composite_impl(tile_feats, counts, grid, cfg, n_accum)
     return (accum, logt), (tile_feats, counts, logt)
 
 
-def _composite_bwd(grid, cfg, res, g):
+def _composite_bwd(grid, cfg, n_accum, res, g):
     tile_feats, counts, logt = res
     g_accum, g_logt = g
     kwargs = dict(
-        tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w, chunk=cfg.chunk
+        tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
+        chunk=cfg.chunk, n_accum=n_accum,
     )
     if cfg.use_pallas():
         grad_feats = composite_tiles_pallas_bwd(
@@ -147,14 +151,19 @@ def rasterize(
     cfg: RasterizeConfig = RasterizeConfig(),
     live: jnp.ndarray | None = None,
     mean2d_offset: jnp.ndarray | None = None,
+    bg: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """Render N Gaussians through one camera. Differentiable in all float args.
 
     Args mirror the reference rendervar (`src/tracking/helpers.py:36-45`):
     quats may be unnormalized; opacities in [0,1] (post-sigmoid); scales
-    positive (post-exp); colors (N, 3) precomputed RGB.
+    positive (post-exp); colors (N, C) precomputed channels — C may exceed 3
+    to fuse several color targets (e.g. rgb + seg) into one pass; ``bg``
+    overrides the camera background (broadcast/zero-padded to C channels).
     """
     n = means3d.shape[0]
+    n_chan = colors.shape[1]
+    assert 6 + n_chan + 1 <= FEAT_DIM, f"too many color channels: {n_chan}"
     grid = TileGrid(
         height=camera.height, width=camera.width, tile_h=cfg.tile_h, tile_w=cfg.tile_w
     )
@@ -179,22 +188,27 @@ def rasterize(
             mean2d,  # 0:2
             proj.conic,  # 2:5
             opacities.reshape(n, 1) * proj.mask[:, None],  # 5
-            colors,  # 6:9
-            proj.depth[:, None],  # 9
-            jnp.zeros((n, FEAT_DIM - 10), mean2d.dtype),
+            colors,  # 6:6+C
+            proj.depth[:, None],  # 6+C
+            jnp.zeros((n, FEAT_DIM - 7 - n_chan), mean2d.dtype),
         ],
         axis=-1,
     )  # (N, FEAT_DIM)
     tile_feats = feats[bins.gauss_idx]  # (T, K, F) — VJP = scatter-add
     tile_feats = tile_feats.transpose(0, 2, 1)  # (T, F, K)
 
-    accum, logt = _composite(tile_feats, bins.counts, grid, cfg)
+    accum, logt = _composite(tile_feats, bins.counts, grid, cfg, n_chan + 1)
 
-    img = _assemble_image(accum, grid)  # (4, H, W)
+    img = _assemble_image(accum, grid)  # (C+1, H, W)
     final_logt = _assemble_image(logt, grid)[0]  # (H, W)
     final_t = jnp.exp(final_logt)
-    im = img[:3] + final_t[None] * camera.bg[:, None, None]
-    depth = img[3]
+    if bg is None:
+        bg = camera.bg
+    bg = jnp.asarray(bg)
+    if bg.shape[0] < n_chan:
+        bg = jnp.concatenate([bg, jnp.zeros((n_chan - bg.shape[0],), bg.dtype)])
+    im = img[:n_chan] + final_t[None] * bg[:, None, None]
+    depth = img[n_chan]
     return RenderOutput(im=im, radius=proj.radius, depth=depth, final_t=final_t)
 
 

@@ -63,20 +63,31 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 _WINDOW = _gaussian_window()
+_WINDOW_1D = np.exp(
+    -((np.arange(11) - 5) ** 2) / (2 * 1.5**2)
+).astype(np.float32)
+_WINDOW_1D /= _WINDOW_1D.sum()
 
 
 def _filter2d(img: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 11x11 Gaussian filter over (C, H, W), SAME padding."""
+    """Depthwise 11x11 Gaussian filter over (C, H, W), SAME padding.
+
+    The window is an outer product of a 1D Gaussian, so the filter is
+    separable: two 1D passes cost 22 taps/pixel instead of 121 — depthwise
+    2D convs lower poorly on TPU and dominated the tracking step otherwise.
+    """
     c = img.shape[0]
-    w = jnp.asarray(_WINDOW)[None, None].repeat(c, axis=0)  # (C,1,11,11)
-    return jax.lax.conv_general_dilated(
-        img[None],
-        w,
-        window_strides=(1, 1),
-        padding="SAME",
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
+    wy = jnp.asarray(_WINDOW_1D).reshape(1, 1, 11, 1).repeat(c, axis=0)
+    wx = jnp.asarray(_WINDOW_1D).reshape(1, 1, 1, 11).repeat(c, axis=0)
+    out = jax.lax.conv_general_dilated(
+        img[None], wy, window_strides=(1, 1), padding=((5, 5), (0, 0)),
+        feature_group_count=c, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out, wx, window_strides=(1, 1), padding=((0, 0), (5, 5)),
+        feature_group_count=c, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
 
 
 def calc_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
@@ -120,47 +131,82 @@ def tracking_loss(
     is_initial_timestep: bool,
     raster_cfg: RasterizeConfig,
     with_seg: bool = True,
+    fused: bool = True,
 ):
     """Total tracking loss for one camera view (`train_utils.py:167-246`).
 
     mean2d_dummy: (N, 2) zeros; grad w.r.t. it feeds densification stats.
-    Returns (loss, LossAux).
+
+    fused=True renders rgb and seg targets as 6 channels in ONE rasterizer
+    pass (identical projection/binning are shared), halving the dominant
+    render cost. Deviation from the reference: the means2D densification
+    gradient then also includes the seg loss contribution (the reference
+    accumulates it from the color render only, `train_utils.py:185`);
+    set fused=False for strict stat parity. Returns (loss, LossAux).
     """
     losses = {}
 
     rendervar = params_to_rendervar(params)
-    out = rasterize(
-        rendervar["means3D"],
-        rendervar["rotations"],
-        rendervar["scales"],
-        rendervar["opacities"],
-        rendervar["colors_precomp"],
-        camera,
-        raster_cfg,
-        live=params.live,
-        mean2d_offset=mean2d_dummy,
-    )
-    # Per-camera affine color correction (`train_utils.py:182`).
     cid = camera.cam_id
-    im = jnp.exp(params.cam_m[cid])[:, None, None] * out.im + params.cam_c[cid][
-        :, None, None
-    ]
-    losses["im"] = 0.8 * l1_loss(im, target_im) + 0.2 * (1.0 - calc_ssim(im, target_im))
 
-    if with_seg:
-        seg_out = rasterize(
+    if fused and with_seg:
+        colors6 = jnp.concatenate(
+            [rendervar["colors_precomp"], params.seg_colors], axis=1
+        )
+        out = rasterize(
             rendervar["means3D"],
             rendervar["rotations"],
             rendervar["scales"],
             rendervar["opacities"],
-            params.seg_colors,
+            colors6,
             camera,
             raster_cfg,
             live=params.live,
+            mean2d_offset=mean2d_dummy,
         )
-        losses["seg"] = 0.8 * l1_loss(seg_out.im, target_seg) + 0.2 * (
-            1.0 - calc_ssim(seg_out.im, target_seg)
+        im = jnp.exp(params.cam_m[cid])[:, None, None] * out.im[:3] + (
+            params.cam_c[cid][:, None, None]
         )
+        seg_im = out.im[3:6]
+        losses["im"] = 0.8 * l1_loss(im, target_im) + 0.2 * (
+            1.0 - calc_ssim(im, target_im)
+        )
+        losses["seg"] = 0.8 * l1_loss(seg_im, target_seg) + 0.2 * (
+            1.0 - calc_ssim(seg_im, target_seg)
+        )
+    else:
+        out = rasterize(
+            rendervar["means3D"],
+            rendervar["rotations"],
+            rendervar["scales"],
+            rendervar["opacities"],
+            rendervar["colors_precomp"],
+            camera,
+            raster_cfg,
+            live=params.live,
+            mean2d_offset=mean2d_dummy,
+        )
+        # Per-camera affine color correction (`train_utils.py:182`).
+        im = jnp.exp(params.cam_m[cid])[:, None, None] * out.im + params.cam_c[
+            cid
+        ][:, None, None]
+        losses["im"] = 0.8 * l1_loss(im, target_im) + 0.2 * (
+            1.0 - calc_ssim(im, target_im)
+        )
+        if with_seg:
+            seg_out = rasterize(
+                rendervar["means3D"],
+                rendervar["rotations"],
+                rendervar["scales"],
+                rendervar["opacities"],
+                params.seg_colors,
+                camera,
+                raster_cfg,
+                live=params.live,
+            )
+            losses["seg"] = 0.8 * l1_loss(seg_out.im, target_seg) + 0.2 * (
+                1.0 - calc_ssim(seg_out.im, target_seg)
+            )
 
     if not is_initial_timestep:
         losses.update(_rigidity_losses(params, variables))

@@ -211,6 +211,34 @@ def compact_params(params: GaussianParams, variables: TrackingVariables,
     return new_params, new_vars
 
 
+def save_tracking_state(path: str, t: int, params, opt_state, variables,
+                        key, output_params):
+    """Mid-sequence checkpoint for resumable tracking (the reference only
+    snapshots params every 5 timesteps with no optimizer state,
+    SURVEY.md §5 'no mid-episode resume')."""
+    import pickle
+
+    from gsdx.io.checkpoint import save_checkpoint
+
+    save_checkpoint(path, {
+        "t": jnp.asarray(t), "params": params, "opt_state": opt_state,
+        "variables": variables, "key": key,
+    })
+    with open(path + ".outputs", "wb") as f:
+        pickle.dump(output_params, f)
+
+
+def load_tracking_state(path: str, template: dict):
+    import pickle
+
+    from gsdx.io.checkpoint import load_checkpoint
+
+    state = load_checkpoint(path, template)
+    with open(path + ".outputs", "rb") as f:
+        outputs = pickle.load(f)
+    return state, outputs
+
+
 def track_sequence(
     params: GaussianParams,
     cams: Camera,
@@ -220,14 +248,19 @@ def track_sequence(
     cfg: TrackingConfig = TrackingConfig(),
     scene_radius: float = 1.0,
     progress: bool = False,
+    state_path: Optional[str] = None,
+    resume: bool = False,
 ):
     """Full tracking loop over a sequence (`train_gs.py:10-46`).
 
     ims/segs may be arrays indexed by timestep or callables returning the
     per-timestep stack (for sequences too large for host memory).
-    Returns a list of per-timestep host param snapshots (params2cpu
-    equivalent, `helpers.py:141-147`).
+    ``state_path``/``resume`` enable mid-sequence checkpointing. Returns a
+    list of per-timestep host param snapshots (params2cpu equivalent,
+    `helpers.py:141-147`).
     """
+    import os
+
     rng = np.random.default_rng(cfg.seed)
     adam = GroupAdam()
     variables = init_tracking_variables(params.capacity, cfg.num_knn, scene_radius)
@@ -238,10 +271,46 @@ def track_sequence(
     num_cams = np.asarray(ims(0) if callable(ims) else ims[0]).shape[0]
     output_params = []
 
+    start_t = 0
+    if resume and state_path and os.path.exists(state_path):
+        # Resume requires post-t0 shapes (compacted capacity); only supported
+        # from t >= 1, which is when the expensive tail begins.
+        template = {
+            "t": jnp.asarray(0), "params": params, "opt_state": opt_state,
+            "variables": variables, "key": key,
+        }
+        try:
+            state, output_params = load_tracking_state(state_path, template)
+        except Exception:
+            # shapes changed post-compaction: rebuild the template lazily
+            import pickle
+
+            with open(state_path + ".outputs", "rb") as f:
+                output_params = pickle.load(f)
+            n0 = output_params[0]["means3D"].shape[0]
+            cap = int(-(-n0 // 128) * 128)
+            tmpl_params, tmpl_vars = _template_after_compact(
+                cap, cfg.num_knn, scene_radius
+            )
+            template = {
+                "t": jnp.asarray(0), "params": tmpl_params,
+                "opt_state": adam.init(tmpl_params),
+                "variables": tmpl_vars, "key": key,
+            }
+            state, output_params = load_tracking_state(state_path, template)
+        params = state["params"]
+        opt_state = state["opt_state"]
+        variables = state["variables"]
+        key = state["key"]
+        start_t = int(state["t"]) + 1
+        lrs = tracking_lrs(scene_radius, post_first_timestep=True)
+        if progress:
+            print(f"[track] resumed at t={start_t}")
+
     fit_first = make_fit_timestep(cfg, is_initial=True, num_iters=cfg.iters_first)
     fit_rest = None
 
-    for t in range(num_timesteps):
+    for t in range(start_t, num_timesteps):
         t_ims = ims(t) if callable(ims) else ims[t]
         t_segs = segs(t) if callable(segs) else segs[t]
         is_initial = t == 0
@@ -276,7 +345,23 @@ def track_sequence(
             lrs = tracking_lrs(scene_radius, post_first_timestep=True)
             # re-snapshot after compaction so all timesteps share indexing
             output_params[-1] = snapshot_params(params, full=True)
+        if state_path and not is_initial:
+            save_tracking_state(state_path, t, params, opt_state, variables,
+                                key, output_params)
     return output_params
+
+
+def _template_after_compact(capacity: int, num_knn: int, scene_radius):
+    """Zero pytrees with post-compaction shapes (resume deserialization)."""
+    z = jnp.zeros
+    params = GaussianParams(
+        means3d=z((capacity, 3)), rgb_colors=z((capacity, 3)),
+        seg_colors=z((capacity, 3)), unnorm_rotations=z((capacity, 4)),
+        logit_opacities=z((capacity, 1)), log_scales=z((capacity, 3)),
+        cam_m=z((50, 3)), cam_c=z((50, 3)), live=z((capacity,)),
+    )
+    variables = init_tracking_variables(capacity, num_knn, scene_radius)
+    return params, variables
 
 
 def snapshot_params(params: GaussianParams, full: bool) -> dict:

@@ -75,6 +75,27 @@ def sample_action_seq(
     )
 
 
+def sample_action_seq_fps(lower, upper, n_sample: int, n_look_ahead: int = 1,
+                          grid_size: float = 0.02):
+    """Grid + farthest-point action coverage (`noise_type == "fps"`,
+    `planner.py:125-140`): enumerate a regular grid over the action box and
+    FPS-select n_sample maximally-spread actions."""
+    import numpy as np
+
+    from gsdx.kernels.fps import farthest_point_sampling
+
+    lower_np = np.asarray(lower)
+    upper_np = np.asarray(upper)
+    axes = [np.arange(lower_np[i], upper_np[i], grid_size)
+            for i in range(len(lower_np))]
+    grid = np.stack(np.meshgrid(*axes), axis=-1).reshape(-1, len(lower_np))
+    idx = farthest_point_sampling(
+        jnp.asarray(grid.astype(np.float32)), n_sample, start_idx=0
+    )
+    acts = jnp.asarray(grid.astype(np.float32))[idx]  # (n_sample, 4)
+    return jnp.tile(acts[:, None], (1, n_look_ahead, 1))
+
+
 def optimize_action_mppi(act_seqs, reward_seqs, lower, upper,
                          reward_weight: float = 100.0,
                          push_length: float = 0.01):

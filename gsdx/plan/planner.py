@@ -26,6 +26,8 @@ class MPPIConfig(NamedTuple):
     push_length: float = 0.01
     action_lower_lim: tuple = (-0.5, -0.5, -np.pi, 5.0)
     action_upper_lim: tuple = (0.5, 0.5, np.pi, 20.0)
+    planner_type: str = "MPPI"  # "MPPI" | "GD" (`planner.py:84-90`)
+    lr: float = 1e-3  # GD learning rate (`planner.py:117`)
 
 
 class Planner:
@@ -45,6 +47,8 @@ class Planner:
         self.cfg = cfg
         self.lower = jnp.asarray(cfg.action_lower_lim, jnp.float32)
         self.upper = jnp.asarray(cfg.action_upper_lim, jnp.float32)
+        self._model_rollout = model_rollout_fn
+        self._evaluate = evaluate_traj_fn
         self._iter = jax.jit(self._make_iter(model_rollout_fn, evaluate_traj_fn))
 
     def _make_iter(self, model_rollout_fn, evaluate_traj_fn):
@@ -75,7 +79,9 @@ class Planner:
 
     def trajectory_optimization(self, key, state_cur, act_seq):
         """Returns {"act_seq": best (L, 4), "best_reward": scalar}
-        (`planner.py:236-275`)."""
+        (`planner.py:236-275` MPPI / `planner.py:278-310` GD)."""
+        if self.cfg.planner_type == "GD":
+            return self._trajectory_optimization_gd(key, state_cur, act_seq)
         cfg = self.cfg
         best_act = act_seq
         best_reward = jnp.asarray(-jnp.inf)
@@ -85,6 +91,51 @@ class Planner:
                 sub, state_cur, act_seq, jnp.asarray(i), best_act, best_reward
             )
         return {"act_seq": best_act, "best_reward": best_reward}
+
+    def _trajectory_optimization_gd(self, key, state_cur, act_seq):
+        """Gradient-descent planning (`trajectory_optimization_gd`,
+        `planner.py:278-310`): Adam on the sampled action batch, maximizing
+        mean reward with gradients through the differentiable rollout
+        (edge structure is piecewise-constant w.r.t. actions, as in the
+        reference). Finishes with the argmax sample."""
+        import optax
+
+        cfg = self.cfg
+        if not hasattr(self, "_gd_step"):
+            tx = optax.adam(cfg.lr)
+
+            def neg_reward(act_seqs, state_cur):
+                out = self._model_rollout(state_cur, act_seqs)
+                rewards = self._evaluate(
+                    out["state_seqs"], out["action_seqs"], state_cur
+                )["reward_seqs"]
+                return -jnp.mean(rewards), rewards
+
+            @jax.jit
+            def gd_step(act_seqs, opt_state, state_cur):
+                (_, rewards), grads = jax.value_and_grad(
+                    neg_reward, has_aux=True)(act_seqs, state_cur)
+                updates, opt_state = tx.update(grads, opt_state, act_seqs)
+                act_seqs = optax.apply_updates(act_seqs, updates)
+                act_seqs = jnp.clip(act_seqs, self.lower, self.upper)
+                return act_seqs, opt_state, rewards
+
+            self._gd_tx = tx
+            self._gd_step = gd_step
+
+        act_seqs = sample_action_seq(
+            key, act_seq, self.lower, self.upper, cfg.n_sample,
+            iter_index=0, noise_level=cfg.noise_level,
+            push_length=cfg.push_length,
+        )
+        opt_state = self._gd_tx.init(act_seqs)
+        rewards = None
+        for _ in range(cfg.n_update_iter):
+            act_seqs, opt_state, rewards = self._gd_step(
+                act_seqs, opt_state, state_cur
+            )
+        idx = jnp.argmax(rewards)
+        return {"act_seq": act_seqs[idx], "best_reward": rewards[idx]}
 
     def plan_chunked(self, key, state_cur, init_act_seq, n_chunks: int = 10):
         """Best-of-chunks planning (`plan.py:367-373` + `merge_res`)."""

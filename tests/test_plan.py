@@ -99,3 +99,52 @@ def test_batched_gnn_rollout_shapes(rng):
     out = rollout(params, state, acts)
     assert out["state_seqs"].shape == (4, 1, 12, 3)
     assert np.isfinite(np.asarray(out["state_seqs"])).all()
+
+
+def test_gd_planner_on_toy(rng):
+    cluster = jnp.asarray(rng.normal(scale=0.03, size=(16, 3)).astype(np.float32))
+    target = cluster + jnp.array([0.1, 0.0, 0.0])
+    push_length = 0.01
+
+    def toy_rollout(state_cur, act_seqs):
+        decoded, repeats = decode_action(act_seqs, push_length)
+        start = decoded[:, :, :2]
+        d = jnp.linalg.norm(
+            start[:, :, None] - state_cur[None, None, :, :2], axis=-1).min(-1)
+        near = jax.nn.sigmoid((0.15 - d) * 50.0)[..., None]  # smooth for GD
+        unit = jnp.stack(
+            [decoded[:, :, 2] - decoded[:, :, 0],
+             decoded[:, :, 3] - decoded[:, :, 1],
+             jnp.zeros_like(decoded[:, :, 0])], axis=-1)
+        move = unit * act_seqs[..., 3:4] * near
+        state_seqs = state_cur[None, None] + move[:, :, None, :]
+        return {"state_seqs": state_seqs, "action_seqs": decoded}
+
+    bbox = jnp.array([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]])
+
+    def evaluate(state_seqs, action_seqs, state_cur):
+        return running_cost(state_seqs, action_seqs, state_cur, target, bbox)
+
+    from gsdx.plan.planner import MPPIConfig, Planner
+    cfg = MPPIConfig(n_sample=64, n_update_iter=8, planner_type="GD", lr=0.02,
+                     action_lower_lim=(-0.4, -0.4, -np.pi, 5.0),
+                     action_upper_lim=(0.4, 0.4, np.pi, 20.0))
+    planner = Planner(cfg, toy_rollout, evaluate)
+    init = jnp.zeros((1, 4)).at[0, 3].set(10.0)
+    res = planner.trajectory_optimization(jax.random.PRNGKey(3), cluster, init)
+    pre = float(evaluate(cluster[None, None], jnp.zeros((1, 1, 4)),
+                         cluster)["reward_seqs"][0])
+    assert float(res["best_reward"]) > pre
+
+
+def test_fps_action_sampling():
+    from gsdx.plan.actions import sample_action_seq_fps
+    lower = (-0.2, -0.2, -np.pi, 5.0)
+    upper = (0.2, 0.2, np.pi, 20.0)
+    acts = sample_action_seq_fps(lower, upper, n_sample=32, grid_size=0.2)
+    acts = np.asarray(acts)
+    assert acts.shape == (32, 1, 4)
+    assert (acts[..., 0] >= -0.2).all() and (acts[..., 0] <= 0.2).all()
+    # FPS spread: samples are not duplicated (xy grid only has 2x2 cells at
+    # this grid_size, so uniqueness is over the full 4D action)
+    assert len(np.unique(acts[:, 0], axis=0)) > 16

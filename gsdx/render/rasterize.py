@@ -126,6 +126,30 @@ def _composite_bwd(grid, cfg, n_accum, res, g):
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
+@jax.custom_vjp
+def _take_rows(feats, idx):
+    """Row gather with an explicit scatter-add backward.
+
+    XLA's autodiff-generated transpose of gather lowers to a serialized
+    scatter on TPU (measured ~5 ms at (450, 512) x 16 vs 0.03 ms for an
+    explicit `.at[].add`); this custom VJP pins the fast lowering.
+    """
+    return feats[idx]
+
+
+def _take_rows_fwd(feats, idx):
+    return feats[idx], (idx, feats.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, n = res
+    grad = jnp.zeros((n, g.shape[-1]), g.dtype).at[idx].add(g)
+    return grad, None
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 # --------------------------------------------------------------------------
 # full rasterization
 # --------------------------------------------------------------------------
@@ -194,7 +218,7 @@ def rasterize(
         ],
         axis=-1,
     )  # (N, FEAT_DIM)
-    tile_feats = feats[bins.gauss_idx]  # (T, K, F) — VJP = scatter-add
+    tile_feats = _take_rows(feats, bins.gauss_idx)  # (T, K, F)
     tile_feats = tile_feats.transpose(0, 2, 1)  # (T, F, K)
 
     accum, logt = _composite(tile_feats, bins.counts, grid, cfg, n_chan + 1)

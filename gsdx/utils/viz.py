@@ -13,6 +13,21 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def rgba_to_rgb(im: np.ndarray, bg: Optional[np.ndarray] = None) -> np.ndarray:
+    """Alpha-composite an RGBA u8 image over a background
+    (`src/data/utils.py:96-101`)."""
+    if bg is None:
+        bg = np.zeros((im.shape[0], im.shape[1], 3))
+    alpha = im[:, :, 3:4].astype(np.float64) / 255.0
+    return im[:, :, :3].astype(np.float64) * alpha + bg * (1 - alpha)
+
+
+def rgb_colormap(repeat: int = 1) -> np.ndarray:
+    """Primary-color keypoint map (`src/data/utils.py:103-109`)."""
+    base = np.asarray([[0, 0, 255], [0, 255, 0], [255, 0, 0]])
+    return np.repeat(base, repeat, axis=0)
+
+
 def project_points(points: np.ndarray, intr: np.ndarray,
                    extr: np.ndarray) -> np.ndarray:
     """(N, 3) world -> (N, 2) pixels (`src/render/utils.py:7-16`)."""

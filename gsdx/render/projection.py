@@ -81,24 +81,25 @@ def project_gaussians(
     tyz = jnp.clip(ty / tz_safe, -lim_y, lim_y)
 
     fx, fy = camera.fx, camera.fy
-    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]
-    zeros = jnp.zeros_like(tz_safe)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / tz_safe, zeros, -fx * txz / tz_safe], axis=-1),
-            jnp.stack([zeros, fy / tz_safe, -fy * tyz / tz_safe], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
+    # cov2d = (J W M)(J W M)^T with M = R(q) diag(s). Rather than batched
+    # (N,3,3) matmul chains — which XLA lowers as tiny per-row matmuls at
+    # ~1.6 GFLOP/s on TPU — expand everything to (N,) vector arithmetic.
+    # J rows: [fx/tz, 0, -fx*txz/tz], [0, fy/tz, -fy*tyz/tz]
+    # V = J @ W (2, 3 per gaussian): V0 = (fx W0 - fx*txz W2) / tz, etc.
+    inv_tz = 1.0 / tz_safe
+    W0, W1, W2 = R_w2c[0], R_w2c[1], R_w2c[2]  # constant (3,) rows
+    v0 = (fx * inv_tz)[:, None] * W0[None] - (fx * txz * inv_tz)[:, None] * W2[None]
+    v1 = (fy * inv_tz)[:, None] * W1[None] - (fy * tyz * inv_tz)[:, None] * W2[None]
 
-    cov3d = compute_cov3d(quats, scales)  # (N, 3, 3)
-    T = J @ R_w2c  # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
+    Rg = quat_to_rotmat(quats)  # (N, 3, 3) — elementwise quat polynomials
+    # U = V @ (Rg * s): U[i, j] = sum_k V[i, k] Rg[k, j] s[j]
+    u0 = jnp.einsum("nk,nkj->nj", v0, Rg) * scales  # (N, 3)
+    u1 = jnp.einsum("nk,nkj->nj", v1, Rg) * scales
 
     # Low-pass dilation: ensure every splat covers at least ~1 pixel.
-    c00 = cov2d[:, 0, 0] + 0.3
-    c11 = cov2d[:, 1, 1] + 0.3
-    c01 = cov2d[:, 0, 1]
+    c00 = jnp.sum(u0 * u0, axis=-1) + 0.3
+    c11 = jnp.sum(u1 * u1, axis=-1) + 0.3
+    c01 = jnp.sum(u0 * u1, axis=-1)
 
     det = c00 * c11 - c01 * c01
     invertible = det != 0.0

@@ -20,6 +20,19 @@ def _chamfer(x, y):
     return jnp.mean(jnp.min(d, axis=2), axis=1) + jnp.mean(jnp.min(d, axis=1), axis=1)
 
 
+def box_loss(state, target_box):
+    """Distance of particles outside a target x-y box, mean over particles
+    (`box_loss`, `plan_utils.py:147-157`). state (B, N, 3),
+    target_box (2, 2) [[xmin, xmax], [ymin, ymax]] -> (B,)."""
+    xmin, xmax = target_box[0, 0], target_box[0, 1]
+    ymin, ymax = target_box[1, 0], target_box[1, 1]
+    x = state[:, :, 0]
+    y = state[:, :, 2]  # reference indexes z-up layouts with [:, :, 2]
+    x_diff = jnp.maximum(xmin - x, 0.0) + jnp.maximum(x - xmax, 0.0)
+    y_diff = jnp.maximum(ymin - y, 0.0) + jnp.maximum(y - ymax, 0.0)
+    return jnp.mean(jnp.sqrt(x_diff**2 + y_diff**2), axis=1)
+
+
 def running_cost(state, action, state_cur, target_state, bounding_box):
     """Args:
       state: (B, L, n_obj, 3) predicted states.

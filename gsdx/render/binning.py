@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import flax.struct
 import jax.numpy as jnp
+import numpy as np
 
 
 class TileGrid(NamedTuple):
@@ -81,9 +82,14 @@ def bin_gaussians(
     T = grid.num_tiles
     tx, ty = grid.tiles_x, grid.tiles_y
 
-    # Keys must fit int32: (T+1) * n_pad < 2^31.
-    n_pad = n
-    assert (T + 1) * n_pad < 2**31 - 1, "tile/gaussian count overflows int32 keys"
+    # Pack (tile, depth-rank) into one int32 key with bit fields: integer
+    # multiply/divide/modulo are expensive on the TPU VPU, shifts and masks
+    # are not. rank needs ceil_log2(n) bits; the tile id gets the rest.
+    rank_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    assert (T + 1) < 2 ** (31 - rank_bits), (
+        f"tile count {T} overflows int32 keys at {rank_bits} rank bits"
+    )
+    rank_mask = jnp.int32((1 << rank_bits) - 1)
 
     # Depth-sorted gaussian order (masked gaussians last).
     order = jnp.argsort(jnp.where(mask, depth, jnp.inf)).astype(jnp.int32)  # (n,)
@@ -103,9 +109,13 @@ def bin_gaussians(
     n_touched = bw * bh
 
     slots = jnp.arange(max_dup, dtype=jnp.int32)  # (max_dup,)
-    bw_safe = jnp.maximum(bw, 1)[:, None]
-    di = slots[None, :] // bw_safe  # (n, max_dup)
-    dj = slots[None, :] % bw_safe
+    # slot -> (row, col) within the bbox via float division: integer div/mod
+    # with a traced divisor is slow on TPU. Values are tiny exact ints, so
+    # correctly-rounded f32 division never crosses an integer boundary
+    # (quotients are either exact or >= 1/max_dup away from an integer).
+    inv_bw = 1.0 / jnp.maximum(bw, 1).astype(jnp.float32)[:, None]
+    di = jnp.floor(slots[None, :].astype(jnp.float32) * inv_bw).astype(jnp.int32)
+    dj = slots[None, :] - di * bw[:, None]
     tile_id = (y0[:, None] + di) * tx + (x0[:, None] + dj)
     valid = mask_s[:, None] & (slots[None, :] < n_touched[:, None])
     tile_id = jnp.where(valid, tile_id, T)
@@ -113,18 +123,18 @@ def bin_gaussians(
     rank = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)
     )
-    key = tile_id.reshape(-1) * jnp.int32(n_pad) + rank.reshape(-1)
+    key = (tile_id.reshape(-1) << rank_bits) | rank.reshape(-1)
 
     # Pairs are generated rank-major, so one key sort yields depth order
-    # within each tile; the payload is recoverable as key % n_pad, so no
+    # within each tile; the payload is recoverable as key & rank_mask, so no
     # argsort is needed. Per-tile segment boundaries come from searchsorted
     # on the sorted keys — TPU scatters (bincount) are orders of magnitude
     # slower than these binary searches.
     sorted_key = jnp.sort(key)
-    pair_rank = sorted_key % jnp.int32(n_pad)
+    pair_rank = sorted_key & rank_mask
 
     boundaries = jnp.searchsorted(
-        sorted_key, jnp.arange(T + 1, dtype=jnp.int32) * jnp.int32(n_pad)
+        sorted_key, jnp.arange(T + 1, dtype=jnp.int32) << rank_bits
     ).astype(jnp.int32)
     starts = boundaries[:-1]
     counts = jnp.minimum(boundaries[1:] - starts, max_per_tile)

@@ -43,12 +43,20 @@ class Planner:
         cfg: MPPIConfig,
         model_rollout_fn: Callable,
         evaluate_traj_fn: Callable,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
+        """``mesh``: optional jax.sharding.Mesh — the sample batch shards
+        over ``mesh_axis`` (the reference's 1000-sample chunks are
+        embarrassingly parallel, SURVEY.md §2.8), with GSPMD partitioning
+        the rollout and reward and all-reducing the softmax/argmax inputs."""
         self.cfg = cfg
         self.lower = jnp.asarray(cfg.action_lower_lim, jnp.float32)
         self.upper = jnp.asarray(cfg.action_upper_lim, jnp.float32)
         self._model_rollout = model_rollout_fn
         self._evaluate = evaluate_traj_fn
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
         self._iter = jax.jit(self._make_iter(model_rollout_fn, evaluate_traj_fn))
 
     def _make_iter(self, model_rollout_fn, evaluate_traj_fn):
@@ -60,6 +68,13 @@ class Planner:
                 iter_index=iter_index, noise_level=cfg.noise_level,
                 push_length=cfg.push_length,
             )
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                act_seqs = jax.lax.with_sharding_constraint(
+                    act_seqs,
+                    NamedSharding(self._mesh, PartitionSpec(self._mesh_axis)),
+                )
             out = model_rollout_fn(state_cur, act_seqs)
             eval_out = evaluate_traj_fn(
                 out["state_seqs"], out["action_seqs"], state_cur

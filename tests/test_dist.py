@@ -112,3 +112,48 @@ def test_camera_sharded_tracking_grads_match(rng):
     mean_g = jax.tree.map(lambda *x: sum(x) / 4.0, *[g[0] for g in grads])
     for a, b in zip(jax.tree.leaves(g_params), jax.tree.leaves(mean_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_mppi_sample_sharding_matches_single(rng):
+    """Sample-sharded MPPI produces identical results to single-device."""
+    import jax.numpy as jnp
+
+    from gsdx.plan.actions import decode_action
+    from gsdx.plan.cost import running_cost
+    from gsdx.plan.planner import MPPIConfig, Planner
+
+    cluster = jnp.asarray(rng.normal(scale=0.03, size=(12, 3)).astype(np.float32))
+    target = cluster + jnp.array([0.1, 0.0, 0.0])
+
+    def toy_rollout(state_cur, act_seqs):
+        decoded, repeats = decode_action(act_seqs, 0.01)
+        unit = jnp.stack(
+            [decoded[:, :, 2] - decoded[:, :, 0],
+             decoded[:, :, 3] - decoded[:, :, 1],
+             jnp.zeros_like(decoded[:, :, 0])], axis=-1)
+        move = unit * repeats[..., None].astype(jnp.float32)
+        return {"state_seqs": state_cur[None, None] + move[:, :, None, :],
+                "action_seqs": decoded}
+
+    bbox = jnp.array([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]])
+
+    def evaluate(state_seqs, action_seqs, state_cur):
+        return running_cost(state_seqs, action_seqs, state_cur, target, bbox)
+
+    cfg = MPPIConfig(n_sample=64, n_update_iter=3,
+                     action_lower_lim=(-0.4, -0.4, -np.pi, 5.0),
+                     action_upper_lim=(0.4, 0.4, np.pi, 20.0))
+    init = jnp.zeros((1, 4)).at[0, 3].set(10.0)
+    key = jax.random.PRNGKey(5)
+
+    single = Planner(cfg, toy_rollout, evaluate)
+    res1 = single.trajectory_optimization(key, cluster, init)
+
+    mesh = get_mesh()
+    sharded = Planner(cfg, toy_rollout, evaluate, mesh=mesh)
+    res2 = sharded.trajectory_optimization(key, cluster, init)
+
+    np.testing.assert_allclose(np.asarray(res1["act_seq"]),
+                               np.asarray(res2["act_seq"]), atol=1e-5)
+    np.testing.assert_allclose(float(res1["best_reward"]),
+                               float(res2["best_reward"]), rtol=1e-5)

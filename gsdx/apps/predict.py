@@ -91,6 +91,9 @@ def main(argv=None):
     p.add_argument("--epoch", default="latest")
     p.add_argument("--cameras", type=int, default=4)
     p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--overlay", action="store_true",
+                   help="draw keypoint trails + alpha-mask pass like the "
+                        "reference predict.py")
     args = p.parse_args(argv)
 
     import jax
@@ -123,12 +126,32 @@ def main(argv=None):
     k = np.asarray(meta["k"][0], np.float32)
     for c in range(min(args.cameras, w2c.shape[0])):
         frames = []
+        trail = None
+        if args.overlay:
+            from gsdx.utils.viz import TrailVisualizer, project_points
+
+            trail = TrailVisualizer()
         for t, sd in enumerate(scene_data):
             sd_j = {kk: jnp.asarray(v) for kk, v in sd.items()}
             im, _ = renderer.render(w2c[c], k[c], sd_j)
-            frames.append(chw_to_hwc(im))
-        write_video(os.path.join(args.out, f"camera_{c}.mp4"), frames)
-        print(f"wrote camera_{c}.mp4 ({len(frames)} frames)")
+            frame = chw_to_hwc(im)
+            if args.overlay:
+                # alpha pass: all-ones colors -> coverage mask
+                # (`src/predict.py:118-126`)
+                ones = dict(sd_j)
+                ones["colors_precomp"] = jnp.ones_like(sd_j["colors_precomp"])
+                alpha_im, _ = renderer.render(w2c[c], k[c], ones, bg=(0, 0, 0))
+                alpha = np.asarray(alpha_im)[0][..., None]
+                frame = frame * alpha + 0.7 * (1 - alpha)
+                # end-effector trail (`predict.py:128-140`)
+                eef_px = project_points(vis[t]["tool_kp"].reshape(-1, 3),
+                                        k[c], w2c[c])
+                frame = trail.draw(
+                    (np.clip(frame, 0, 1) * 255).astype(np.uint8), eef_px
+                ).astype(np.float32) / 255.0
+            frames.append(frame)
+        path = write_video(os.path.join(args.out, f"camera_{c}.mp4"), frames)
+        print(f"wrote {path} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":

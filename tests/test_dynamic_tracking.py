@@ -1,0 +1,69 @@
+"""Dynamic-scene tracking quality: the tracked Gaussians must follow motion.
+
+The reference's implicit spec: per-timestep warm start + im/seg losses +
+rigidity regularizers pull the Gaussian set along with the moving object
+(`src/tracking/train_gs.py:19-46`). Here a synthetic cluster translates a
+known amount per timestep; the tracked centroid must follow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsdx.core.gaussians import init_gaussian_params
+from gsdx.kernels.knn import knn
+from gsdx.render.rasterize import RasterizeConfig
+from gsdx.track.densify import DensifyConfig
+from gsdx.track.trainer import TrackingConfig, track_sequence
+
+from test_tracking import CFG_RASTER, make_cams, make_gt_scene, render_targets
+
+STEP = np.array([0.02, 0.0, 0.0], np.float32)
+
+
+def test_tracking_follows_motion(rng, tmp_path):
+    pt_cld = make_gt_scene(rng, n=50)
+    # the whole cluster moves -> everything is foreground (a reference scene
+    # would keep the static table as background; here there is no table)
+    pt_cld[:, 6] = 1.0
+    cams = make_cams()
+
+    n_t = 3
+    ims_t, segs_t = [], []
+    for t in range(n_t):
+        moved = pt_cld.copy()
+        moved[:, :3] += STEP[None] * t
+        ims, segs = render_targets(moved, cams)
+        ims_t.append(ims)
+        segs_t.append(segs)
+    ims_t = jnp.stack(ims_t)
+    segs_t = jnp.stack(segs_t)
+
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=256)
+
+    # means3d Adam lr is 1.6e-4 * scene_radius (`train_utils.py:153`), so a
+    # 0.02 shift needs >= ~125 effective steps; give the same headroom the
+    # reference's 2000-iter budget gives its ~5 mm frame motions.
+    cfg = TrackingConfig(iters_first=150, iters_rest=500, num_knn=6,
+                         raster=CFG_RASTER, densify=DensifyConfig())
+    out = track_sequence(params, cams, ims_t, segs_t, n_t, cfg,
+                         scene_radius=1.0,
+                         state_path=str(tmp_path / "state.ckpt"))
+    assert len(out) == n_t
+    # t=0 snapshot has all fields; later only the moving ones
+    assert "log_scales" in out[0] and "log_scales" not in out[1]
+    # all timesteps share the post-compaction gaussian count
+    assert out[1]["means3D"].shape == out[2]["means3D"].shape
+
+    c0 = out[0]["means3D"].mean(0)
+    c1 = out[1]["means3D"].mean(0)
+    c2 = out[2]["means3D"].mean(0)
+    d1 = c1 - c0
+    d2 = c2 - c1
+    # tracked motion follows the true step direction (at this tiny 32x64
+    # 3-camera setup depth is weakly constrained, so only the commanded
+    # x-motion is asserted, not absence of depth drift)
+    assert d1[0] > 0.5 * STEP[0], f"t1 motion {d1}"
+    assert d2[0] > 0.5 * STEP[0], f"t2 motion {d2}"
+    assert abs(d1[1]) < 2.0 * STEP[0], f"t1 lateral drift {d1}"

@@ -165,4 +165,23 @@ def train_dynamics(
             save_checkpoint(os.path.join(ckpt_dir, f"model_{e}.ckpt"), params)
         save_checkpoint(os.path.join(ckpt_dir, "latest.ckpt"), params)
         save_checkpoint(os.path.join(ckpt_dir, "latest_optim.ckpt"), opt_state)
+        _plot_losses(history, os.path.join(cfg.out_dir, "loss.png"))
     return params, opt_state, history
+
+
+def _plot_losses(history: dict, path: str) -> None:
+    """Per-epoch train/valid loss plot (`src/train.py:246-258`)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return
+    plt.figure(figsize=(20, 5))
+    plt.plot(history["train"], label="train")
+    if history.get("valid"):
+        plt.plot(history["valid"], label="valid")
+    plt.legend()
+    plt.savefig(path, dpi=150)
+    plt.close()

@@ -337,6 +337,11 @@ def track_sequence(
                 f"[track] t={t} loss={float(logs['loss'][-1]):.5f} "
                 f"psnr={float(logs['psnr'][-1]):.3f} pts={int(logs['num_pts'][-1])}"
             )
+        if state_path:
+            # densification telemetry (`train_gs.py:36-37` num_pts.txt)
+            with open(os.path.join(os.path.dirname(state_path) or ".",
+                                   "num_pts.txt"), "w") as f:
+                f.write(f"Number of points: {int(logs['num_pts'][-1])}\n")
         output_params.append(snapshot_params(params, full=is_initial))
         if is_initial:
             params, variables = compact_params(params, variables)

@@ -35,7 +35,7 @@ def main(argv=None):
         sources = [RealSenseSource(s) for s in (args.serials or [])]
         env = RealEnv(sources, arm=XArm7(os.environ.get("XARM_IP", "")))
     else:
-        from gsdx.realworld.env import FakeEnv, FakeEnvConfig
+        from gsdx.realworld.env import FakeEnv
 
         rng = np.random.default_rng(0)
         pts = rng.normal(scale=0.03, size=(300, 3)).astype(np.float32)

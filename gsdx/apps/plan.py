@@ -66,7 +66,7 @@ def main(argv=None):
     from gsdx.plan.cost import running_cost
     from gsdx.plan.dynamics_rollout import RolloutSpec, make_batched_rollout
     from gsdx.plan.planner import MPPIConfig, Planner
-    from gsdx.realworld.env import WORKSPACE_BBOX, FakeEnv, FakeEnvConfig
+    from gsdx.realworld.env import WORKSPACE_BBOX, FakeEnv
     from gsdx.realworld.perception import PerceptionModule
 
     train_cfg, model_cfg, data_cfg = load_config(args.config)

@@ -7,10 +7,8 @@ from __future__ import annotations
 
 import argparse
 import glob
-import os
 from pathlib import Path
 
-from gsdx.io.config import load_config
 from gsdx.io.preprocess import preprocess_episode
 
 

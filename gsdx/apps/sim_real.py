@@ -26,10 +26,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    import jax
-
     from gsdx.apps.demo import DemoSession
-    from gsdx.realworld.env import FakeEnv, FakeEnvConfig
+    from gsdx.realworld.env import FakeEnv
     from gsdx.realworld.perception import PerceptionModule
 
     rng = np.random.default_rng(args.seed)

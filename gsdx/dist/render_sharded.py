@@ -14,8 +14,6 @@ equivalent to batching all views per iteration.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -9,7 +9,6 @@ single-GPU loop (`src/train.py:159-219`) with no change to the math.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -16,7 +16,7 @@ Motion head output is clamped to +-100 and added to the last state
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax.numpy as jnp

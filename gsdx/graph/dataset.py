@@ -11,7 +11,7 @@ device. All shapes are static; variable particle counts become masks.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import flax.struct
 import jax

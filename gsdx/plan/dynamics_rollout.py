@@ -11,13 +11,12 @@ one XLA program, and the batch axis is the natural multi-chip sharding axis
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from gsdx.dynamics.model import DynamicsPredictor, ModelConfig
+from gsdx.dynamics.model import DynamicsPredictor
 from gsdx.graph.edges import construct_edges_batch
 from gsdx.plan.actions import decode_action
 

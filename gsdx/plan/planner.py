@@ -8,7 +8,7 @@ of jit calls or, with `gsdx.dist`, a mesh-sharded batch axis.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

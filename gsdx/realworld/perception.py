@@ -10,7 +10,7 @@ crop, voxel downsample, iterative outlier removal — runs on device via
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ commanded poses instantly for robotless loops.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import numpy as np
 

@@ -29,13 +29,12 @@ import jax.numpy as jnp
 
 from gsdx.core.cameras import Camera
 from gsdx.kernels.composite import (
-    ACCUM_DIM,
     FEAT_DIM,
     composite_tiles_pallas,
     composite_tiles_pallas_bwd,
     composite_tiles_xla,
 )
-from gsdx.render.binning import TileBins, TileGrid, bin_gaussians
+from gsdx.render.binning import TileGrid, bin_gaussians
 from gsdx.render.projection import project_gaussians
 
 

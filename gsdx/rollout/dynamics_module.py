@@ -10,7 +10,6 @@ skip-when-eef-static rule (`dynamics_module.py:88-99`).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -18,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsdx.dynamics.model import DynamicsPredictor, ModelConfig
-from gsdx.graph.dataset import GraphDatasetConfig
 from gsdx.graph.edges import construct_edges
 from gsdx.kernels.fps import farthest_point_sampling, fps_rad_idx
 from gsdx.rollout.skinning import interpolate_motions, relations_to_matrix

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gsdx.core.cameras import Camera, make_camera
+from gsdx.core.cameras import make_camera
 from gsdx.core.gaussians import (
     GaussianParams,
     init_gaussian_params,

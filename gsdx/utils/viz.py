@@ -8,7 +8,7 @@ Visualizer used by predict.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

@@ -85,7 +85,12 @@ class TrailVisualizer:
         import cv2
         import matplotlib.pyplot as plt
 
-        self.kps.append(np.asarray(keypoints_2d))
+        # clamp to a sane pixel range: points behind/near the camera plane
+        # project to huge coordinates that overflow cv2's int arguments
+        lim = 8 * max(image.shape[0], image.shape[1])
+        kp = np.nan_to_num(np.asarray(keypoints_2d, np.float64),
+                           nan=0.0, posinf=lim, neginf=-lim)
+        self.kps.append(np.clip(kp, -lim, lim))
         if len(self.kps) > self.history:
             self.kps.pop(0)
         out = np.ascontiguousarray(image.copy())

@@ -96,6 +96,26 @@ def _chunk_alpha(chunk, px, py, smask):
     return alpha, e, clamp_gate & keep, dx, dy
 
 
+def _load_subchunk(feats_ref, j, chunk: int, sub: int):
+    """Sub-chunk j of width ``sub`` from the (1, F, K) feats block.
+
+    Mosaic can only prove 128-lane alignment for dynamic lane slices, so the
+    load grabs the containing 128-wide block and a `lax.switch` picks the
+    static sub-slice — letting the compositor work in sub-128 granules
+    without unaligned vector loads.
+    """
+    if sub == chunk:
+        return feats_ref[0, :, pl.ds(j * chunk, chunk)]
+    per = chunk // sub
+    b = j // per
+    h = j - b * per
+    cf_full = feats_ref[0, :, pl.ds(b * chunk, chunk)]  # (F, chunk)
+    return jax.lax.switch(
+        h, [lambda hh=hh: cf_full[:, hh * sub:(hh + 1) * sub]
+            for hh in range(per)]
+    )
+
+
 def _fwd_kernel(
     counts_ref,
     tile_ids_ref,
@@ -108,6 +128,7 @@ def _fwd_kernel(
     tile_w: int,
     chunk: int,
     n_accum: int,
+    sub_chunk: int,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]  # global tile id (differs from i under shard_map)
@@ -116,20 +137,21 @@ def _fwd_kernel(
     P = tile_h * tile_w
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
 
-    nchunks = pl.cdiv(count, chunk)
+    sub = sub_chunk
+    nchunks = pl.cdiv(count, sub)
 
     def body(j, carry):
         accum, logt = carry  # (ACCUM_DIM, P), (1, P)
-        k0 = j * chunk
-        cf = feats_ref[0, :, pl.ds(k0, chunk)]  # (FEAT_DIM, CH)
-        slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        smask = slot < count  # (CH, 1)
+        k0 = j * sub
+        cf = _load_subchunk(feats_ref, j, chunk, sub)  # (FEAT_DIM, SUB)
+        slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+        smask = slot < count  # (SUB, 1)
         alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)
-        l = jnp.log1p(-alpha)  # (CH, P)
+        l = jnp.log1p(-alpha)  # (SUB, P)
         cum = _prefix_sum(l)
         log_t_before = logt + cum - l  # exclusive prefix + carry
-        w = alpha * jnp.exp(log_t_before)  # (CH, P)
-        rgbd = cf[6:6 + n_accum, :]  # (n_accum, CH)
+        w = alpha * jnp.exp(log_t_before)  # (SUB, P)
+        rgbd = cf[6:6 + n_accum, :]  # (n_accum, SUB)
         accum = accum + jax.lax.dot_general(
             rgbd,
             w,
@@ -160,6 +182,7 @@ def _bwd_kernel(
     tile_w: int,
     chunk: int,
     n_accum: int,
+    sub_chunk: int,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]
@@ -174,31 +197,30 @@ def _bwd_kernel(
 
     grad_ref[0] = jnp.zeros((FEAT_DIM, K), jnp.float32)
 
-    nchunks = pl.cdiv(count, chunk)
+    sub = sub_chunk
+    per = chunk // sub
+    nblocks = pl.cdiv(count, chunk)
 
-    def body(jj, carry):
-        s_after, b_after = carry  # (1, P) suffix log(1-a), (1, P) suffix w*dLdw
-        j = nchunks - 1 - jj
-        k0 = j * chunk
-        cf = feats_ref[0, :, pl.ds(k0, chunk)]  # (FEAT_DIM, CH)
-        slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    def sub_grads(cf, k0, s_after, b_after):
+        """Gradient math for one (FEAT_DIM, SUB) sub-chunk (reverse order)."""
+        slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
         smask = slot < count
         alpha, e, pgate, dx, dy = _chunk_alpha(cf, px, py, smask)
         l = jnp.log1p(-alpha)
-        cum = _prefix_sum(l)  # inclusive prefix within chunk
-        rcum = cum[-1:, :] - cum + l  # inclusive suffix within chunk
+        cum = _prefix_sum(l)  # inclusive prefix within sub-chunk
+        rcum = cum[-1:, :] - cum + l  # inclusive suffix within sub-chunk
         log_t_before = logt_final - (s_after + rcum)
         t_before = jnp.exp(log_t_before)
         w = alpha * t_before
 
-        rgbd = cf[6:6 + n_accum, :]  # (n_accum, CH)
-        # dL/dw_k per pixel = sum_c g_c * c_k  -> (CH, P) matmul
+        rgbd = cf[6:6 + n_accum, :]  # (n_accum, SUB)
+        # dL/dw_k per pixel = sum_c g_c * c_k  -> (SUB, P) matmul
         dldw = jax.lax.dot_general(
             rgbd,
             g_accum,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # contracts channel axis: (CH, P)
+        )
         wd = w * dldw
         cw = _prefix_sum(wd)
         # exclusive suffix of w*dLdw over ALL later gaussians
@@ -220,18 +242,18 @@ def _bwd_kernel(
         ddx = dpower * (-ca * dx - cb * dy)
         ddy = dpower * (-cc * dy - cb * dx)
 
-        def rsum(x):  # (CH, P) -> (CH, 1) -> row (1, CH)
+        def rsum(x):  # (SUB, P) -> row (1, SUB)
             return jnp.sum(x, axis=1)[None, :]
 
-        # color/depth grads: (CH, P) @ (P, ACCUM) via contraction on P
+        # color/depth grads: contraction over pixels
         dcol = jax.lax.dot_general(
             w,
             g_accum,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (CH, n_accum)
+        )  # (SUB, n_accum)
 
-        gblock = jnp.concatenate(
+        gsub = jnp.concatenate(
             [
                 rsum(-ddx),  # d mean_x
                 rsum(-ddy),  # d mean_y
@@ -239,25 +261,44 @@ def _bwd_kernel(
                 rsum(db),
                 rsum(dc),
                 rsum(dop),
-                dcol.T,  # (n_accum, CH): d colors..., depth
-                jnp.zeros((FEAT_DIM - 6 - n_accum, chunk), jnp.float32),
+                dcol.T,  # (n_accum, SUB): d colors..., depth
+                jnp.zeros((FEAT_DIM - 6 - n_accum, sub), jnp.float32),
             ],
             axis=0,
-        )  # (FEAT_DIM, CH)
-        grad_ref[0, :, pl.ds(k0, chunk)] = gblock
+        )  # (FEAT_DIM, SUB)
+        return gsub, s_after + cum[-1:, :], b_after + cw[-1:, :]
 
-        s_after = s_after + cum[-1:, :]
-        b_after = b_after + cw[-1:, :]
+    def body(jj, carry):
+        s_after, b_after = carry  # (1, P) suffixes over later gaussians
+        b = nblocks - 1 - jj
+        k0b = b * chunk
+        cf_full = feats_ref[0, :, pl.ds(k0b, chunk)]  # (FEAT_DIM, chunk)
+        gsubs = [None] * per
+        # sub-chunks in reverse depth order; lax.cond skips fully-dead ones
+        for h in range(per - 1, -1, -1):
+            k0 = k0b + h * sub
+            cf = cf_full[:, h * sub:(h + 1) * sub]
+            gsub, s_after, b_after = jax.lax.cond(
+                k0 < count,
+                lambda cf, s_a, b_a, k0=k0: sub_grads(cf, k0, s_a, b_a),
+                lambda cf, s_a, b_a: (
+                    jnp.zeros((FEAT_DIM, sub), jnp.float32), s_a, b_a
+                ),
+                cf, s_after, b_after,
+            )
+            gsubs[h] = gsub
+        gblock = gsubs[0] if per == 1 else jnp.concatenate(gsubs, axis=1)
+        grad_ref[0, :, pl.ds(k0b, chunk)] = gblock
         return s_after, b_after
 
     zero = jnp.zeros((1, P), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+    jax.lax.fori_loop(0, nblocks, body, (zero, zero))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
-                     "n_accum"),
+                     "n_accum", "sub_chunk"),
 )
 def composite_tiles_pallas(
     tile_feats: jnp.ndarray,
@@ -270,6 +311,7 @@ def composite_tiles_pallas(
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
     n_accum: int = ACCUM_DIM,
+    sub_chunk: int | None = None,
 ):
     """Forward compositing. tile_feats (T, FEAT_DIM, K), counts (T,) int32.
 
@@ -295,7 +337,7 @@ def composite_tiles_pallas(
     )
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
-        chunk=chunk, n_accum=n_accum,
+        chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
     )
     accum, logt = pl.pallas_call(
         kernel,
@@ -317,7 +359,7 @@ def composite_tiles_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
-                     "n_accum"),
+                     "n_accum", "sub_chunk"),
 )
 def composite_tiles_pallas_bwd(
     tile_feats: jnp.ndarray,
@@ -333,6 +375,7 @@ def composite_tiles_pallas_bwd(
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
     n_accum: int = ACCUM_DIM,
+    sub_chunk: int | None = None,
 ):
     """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K)."""
     T, F, K = tile_feats.shape
@@ -355,7 +398,7 @@ def composite_tiles_pallas_bwd(
     )
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
-        chunk=chunk, n_accum=n_accum,
+        chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
     )
     return pl.pallas_call(
         kernel,

@@ -52,7 +52,8 @@ class RasterizeConfig(NamedTuple):
     tile_w: int = 128
     max_per_tile: int = 512  # K: per-tile Gaussian capacity (multiple of chunk)
     max_dup: int = 16  # tile duplicates per Gaussian
-    chunk: int = 128  # Gaussians per compositing chunk
+    chunk: int = 128  # Gaussians per aligned compositing block
+    sub_chunk: int = 64  # compute granule within a block (divides chunk)
     backend: str = "auto"  # "auto" | "pallas" | "pallas_interpret" | "xla"
 
     def use_pallas(self) -> bool:
@@ -92,7 +93,8 @@ def _composite_impl(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig,
     )
     if cfg.use_pallas():
         return composite_tiles_pallas(
-            tile_feats, counts, interpret=cfg.interpret, **kwargs
+            tile_feats, counts, interpret=cfg.interpret,
+            sub_chunk=cfg.sub_chunk, **kwargs
         )
     return composite_tiles_xla(tile_feats, counts, **kwargs)
 
@@ -111,7 +113,8 @@ def _composite_bwd(grid, cfg, n_accum, res, g):
     )
     if cfg.use_pallas():
         grad_feats = composite_tiles_pallas_bwd(
-            tile_feats, counts, logt, g_accum, g_logt, interpret=cfg.interpret, **kwargs
+            tile_feats, counts, logt, g_accum, g_logt,
+            interpret=cfg.interpret, sub_chunk=cfg.sub_chunk, **kwargs
         )
     else:
         # Differentiate the XLA twin directly.

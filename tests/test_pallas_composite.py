@@ -79,3 +79,28 @@ def test_pallas_bwd_matches_reference_grads(rng):
         scale = np.abs(gr).max() + 1e-8
         np.testing.assert_allclose(gp / scale, gr / scale, atol=1e-3,
                                    err_msg=f"pallas grad mismatch: {name}")
+
+
+def test_pallas_subchunk_matches_xla(rng):
+    """Sub-128 compute granules (aligned loads + switch slices) stay exact."""
+    means, quats, scales, opac, colors = make_scene(rng, n=60)
+    cam = make_cam()
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    sub = PALLAS._replace(sub_chunk=64)
+    out_p = rasterize(*args, cam, sub)
+    out_x = rasterize(*args, cam, XLA)
+    np.testing.assert_allclose(np.asarray(out_p.im), np.asarray(out_x.im),
+                               atol=1e-5)
+
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    def loss(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
+
+    g_s = jax.grad(lambda *a: loss(sub, *a), argnums=(0, 1, 2))(*args)
+    g_x = jax.grad(lambda *a: loss(XLA, *a), argnums=(0, 1, 2))(*args)
+    for gp, gr in zip(g_s, g_x):
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gp) / scale,
+                                   np.asarray(gr) / scale, atol=1e-3)

@@ -42,33 +42,71 @@ def detect_charuco_pose(image: np.ndarray, k: np.ndarray,
     charuco_corners, charuco_ids, _, _ = detector.detectBoard(gray)
     if charuco_corners is None or len(charuco_corners) < 4:
         return None
-    ok, rvec, tvec = cv2.aruco.estimatePoseCharucoBoard(
-        charuco_corners, charuco_ids, board, k, dist, None, None
+    # PnP on the matched chessboard corners (cv2 >= 5 dropped
+    # estimatePoseCharucoBoard; this is what it did internally).
+    obj = board.getChessboardCorners()[np.asarray(charuco_ids).reshape(-1)]
+    ok, rvec, tvec = cv2.solvePnP(
+        obj.astype(np.float64),
+        np.asarray(charuco_corners).reshape(-1, 1, 2).astype(np.float64),
+        np.asarray(k, np.float64), np.asarray(dist, np.float64),
     )
     if not ok:
         return None
     return rvec.reshape(3), tvec.reshape(3)
 
 
+def _project_so3(m: np.ndarray) -> np.ndarray:
+    u, _, vt = np.linalg.svd(m)
+    return u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+
+
 def solve_hand_eye(
     R_board2cam: List[np.ndarray], t_board2cam: List[np.ndarray],
     R_gripper2base: List[np.ndarray], t_gripper2base: List[np.ndarray],
 ) -> Dict[str, np.ndarray]:
-    """Robot-world hand-eye (`real_env.py:402-412`): returns R/t base->world
-    and R/t gripper->cam given paired board and gripper poses."""
-    import cv2
+    """Robot-world hand-eye (`real_env.py:380-412`): returns R/t base->world
+    and R/t gripper->cam given paired board and gripper poses.
 
-    R_b2w, t_b2w, R_g2c, t_g2c = cv2.calibrateRobotWorldHandEye(
-        [np.asarray(R) for R in R_board2cam],
-        [np.asarray(t).reshape(3, 1) for t in t_board2cam],
-        [np.asarray(R) for R in R_gripper2base],
-        [np.asarray(t).reshape(3, 1) for t in t_gripper2base],
-    )
+    Solves A_i X = Z B_i with A_i = board->cam (board frame == world),
+    B_i = base->gripper (inverted here from the gripper->base poses the arm
+    reports, as the reference does), X = base->world, Z = gripper->cam.
+    Closed-form Kronecker-product method (Shah 2013) — cv2 >= 5 dropped
+    calibrateRobotWorldHandEye; its Shah backend is reimplemented natively.
+    """
+    A_R = [np.asarray(R, np.float64) for R in R_board2cam]
+    A_t = [np.asarray(t, np.float64).reshape(3) for t in t_board2cam]
+    B_R = [np.asarray(R, np.float64).T for R in R_gripper2base]
+    B_t = [
+        -np.asarray(R, np.float64).T @ np.asarray(t, np.float64).reshape(3)
+        for R, t in zip(R_gripper2base, t_gripper2base)
+    ]
+    n = len(A_R)
+
+    # Rotations: maximize vec(R_Z)^T [sum_i B_i (x) A_i] vec(R_X) over SO(3)
+    # (column-major vec); rank-1 SVD then orthogonal projection.
+    kmat = sum(np.kron(B_R[i], A_R[i]) for i in range(n))
+    u, _, vt = np.linalg.svd(kmat)
+    m_z = u[:, 0].reshape(3, 3, order="F")
+    m_x = vt[0].reshape(3, 3, order="F")
+    if np.linalg.det(m_x) < 0:  # simultaneous sign flip of the singular pair
+        m_x, m_z = -m_x, -m_z
+    R_X = _project_so3(m_x)
+    R_Z = _project_so3(m_z)
+
+    # Translations: R_Ai t_X - t_Z = R_Z t_Bi - t_Ai, linear least squares.
+    lhs = np.zeros((3 * n, 6))
+    rhs = np.zeros(3 * n)
+    for i in range(n):
+        lhs[3 * i:3 * i + 3, :3] = A_R[i]
+        lhs[3 * i:3 * i + 3, 3:] = -np.eye(3)
+        rhs[3 * i:3 * i + 3] = R_Z @ B_t[i] - A_t[i]
+    sol, *_ = np.linalg.lstsq(lhs, rhs, rcond=None)
+
     return {
-        "R_base2world": R_b2w,
-        "t_base2world": t_b2w.reshape(3),
-        "R_gripper2cam": R_g2c,
-        "t_gripper2cam": t_g2c.reshape(3),
+        "R_base2world": R_X,
+        "t_base2world": sol[:3],
+        "R_gripper2cam": R_Z,
+        "t_gripper2cam": sol[3:],
     }
 
 

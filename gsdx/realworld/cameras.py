@@ -74,6 +74,37 @@ class SyntheticSource(FrameSource):
         return {"color": color, "depth": depth, "timestamp": t}
 
 
+class StaticImageSource(FrameSource):
+    """Serves a fixed (color, depth) frame — replayed captures, calibration
+    board shots, golden scenes."""
+
+    def __init__(self, color: np.ndarray, depth: np.ndarray | None = None,
+                 k: np.ndarray | None = None, fps: int = 30):
+        self.color = np.ascontiguousarray(color, np.uint8)
+        h, w = self.color.shape[:2]
+        self.height, self.width = h, w
+        self.depth = (np.full((h, w), 1000, np.uint16) if depth is None
+                      else np.ascontiguousarray(depth, np.uint16))
+        f = 0.75 * w
+        self.k = (np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]],
+                           np.float32) if k is None else np.asarray(k, np.float32))
+        self.fps = fps
+
+    def start(self):
+        pass
+
+    def stop(self):
+        pass
+
+    def get_intrinsics(self) -> np.ndarray:
+        return self.k
+
+    def get_frame(self):
+        time.sleep(1.0 / self.fps)
+        return {"color": self.color.copy(), "depth": self.depth.copy(),
+                "timestamp": time.monotonic()}
+
+
 class RealSenseSource(FrameSource):
     """librealsense-backed source (only if pyrealsense2 is installed)."""
 

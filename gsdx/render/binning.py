@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,10 +57,17 @@ class TileBins:
     gauss_idx: (num_tiles, K) int32 indices into the original Gaussian arrays
                (arbitrary for slots >= counts[t]).
     counts:    (num_tiles,) int32, clamped to K.
+    inv_tile/inv_slot: optional (N, max_dup) int32 inverse map — for each
+               Gaussian, the tiles it landed in and its slot within each
+               tile's list (-1 slot = unused/truncated entry). Lets the
+               feature-gather backward run as a gather-sum instead of a
+               scatter-add (TPU scatters serialize; see `bin_gaussians_mask`).
     """
 
     gauss_idx: jnp.ndarray
     counts: jnp.ndarray
+    inv_tile: jnp.ndarray | None = None
+    inv_slot: jnp.ndarray | None = None
 
 
 def bin_gaussians(
@@ -146,3 +154,144 @@ def bin_gaussians(
     gauss_idx = order[tile_rank]  # (T, K) original gaussian ids
 
     return TileBins(gauss_idx=gauss_idx, counts=counts)
+
+
+def _prefix_sum_rows(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 1 of (T, N) float32.
+
+    XLA's cumsum lowering on TPU is log-pass shifted adds (O(N log N) HBM
+    traffic); chunked lower-triangular matmuls keep the scan on the MXU with
+    one read/write of the array. Exact for integer-valued inputs < 2^24.
+    """
+    t, n = x.shape
+    npad = -(-n // chunk) * chunk
+    if npad != n:
+        x = jnp.pad(x, ((0, 0), (0, npad - n)))
+    nc = npad // chunk
+    xc = x.reshape(t, nc, chunk)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (row <= col).astype(jnp.float32)  # tri[i, j] = i <= j
+    within = jnp.einsum(
+        "tni,ij->tnj", xc, tri, preferred_element_type=jnp.float32
+    )  # within[t, c, j] = sum_{i<=j} xc[t, c, i]
+    totals = within[:, :, -1]  # (T, nc)
+    carry = jnp.cumsum(totals, axis=1) - totals  # exclusive chunk carry
+    inc = within + carry[:, :, None]
+    return inc.reshape(t, npad)[:, :n]
+
+
+def _batched_searchsorted(rows: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Left searchsorted of `targets` (K,) in every row of (T, N) `rows`.
+
+    vmap(jnp.searchsorted) serializes per row on TPU; this unrolls the
+    binary search into log2(N) fully-vectorized (T, K) gather steps.
+    """
+    t, n = rows.shape
+    k = targets.shape[0]
+    rflat = rows.reshape(-1)
+    base = jnp.arange(t, dtype=jnp.int32)[:, None] * n
+    lo = jnp.zeros((t, k), jnp.int32)
+    hi = jnp.full((t, k), n, jnp.int32)
+    tgt = targets[None, :]
+    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        mid = (lo + hi) >> 1
+        v = rflat[base + jnp.minimum(mid, n - 1)]
+        go_right = (v < tgt) & (lo < hi)
+        go_left = ~(v < tgt) & (lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_left, mid, hi)
+    return lo
+
+
+def bin_gaussians_mask(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid: TileGrid,
+    max_per_tile: int,
+    max_dup: int = 32,
+    with_inverse: bool = True,
+) -> TileBins:
+    """Sort-free binning: tile-coverage mask + prefix sum + binary search.
+
+    Produces bit-identical TileBins to `bin_gaussians` (same depth order,
+    same row-major max_dup truncation, same keep-K-nearest capacity rule)
+    without the O(N*max_dup) global key sort, which dominates the rasterizer
+    on TPU (measured 4.5 ms of an 8.5 ms fwd+bwd step at 5k Gaussians /
+    720p). Instead:
+
+      1. depth-argsort the N Gaussians (cheap at N << N*max_dup);
+      2. build the (T, N) bbox-coverage mask by broadcast compares;
+      3. per-tile inclusive prefix sum over depth order (MXU triangular
+         matmuls) gives each Gaussian's slot in each tile it touches;
+      4. the j-th Gaussian of a tile is found by binary search of j+1 in
+         the tile's monotone prefix row (batched searchsorted — no scatter).
+
+    Also emits the (N, max_dup) inverse map (tile id + slot per duplicate)
+    consumed by the gather-sum backward of the feature gather.
+    """
+    n = mean2d.shape[0]
+    T = grid.num_tiles
+    tx, ty = grid.tiles_x, grid.tiles_y
+    K = max_per_tile
+
+    order = jnp.argsort(jnp.where(mask, depth, jnp.inf)).astype(jnp.int32)
+    mean2d_s = mean2d[order]
+    radius_s = radius[order]
+    mask_s = mask[order]
+
+    mx, my = mean2d_s[:, 0], mean2d_s[:, 1]
+    r = radius_s
+    x0 = jnp.clip(jnp.floor((mx - r) / grid.tile_w), 0, tx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / grid.tile_h), 0, ty).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + r) / grid.tile_w) + 1, 0, tx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + r) / grid.tile_h) + 1, 0, ty).astype(jnp.int32)
+    bw = jnp.maximum(x1 - x0, 0)
+    n_touched = jnp.minimum(bw * jnp.maximum(y1 - y0, 0), max_dup)
+
+    # (T, N) coverage: tile (tyi, txi) inside the bbox AND within the first
+    # max_dup bbox cells row-major (parity with the pair-table truncation).
+    txi = jnp.asarray(np.arange(T, dtype=np.int32) % grid.tiles_x)[:, None]
+    tyi = jnp.asarray(np.arange(T, dtype=np.int32) // grid.tiles_x)[:, None]
+    inb = (
+        (txi >= x0[None, :]) & (txi < x1[None, :])
+        & (tyi >= y0[None, :]) & (tyi < y1[None, :])
+    )
+    lin = (tyi - y0[None, :]) * bw[None, :] + (txi - x0[None, :])
+    cover = inb & (lin < max_dup) & mask_s[None, :]
+
+    inc = _prefix_sum_rows(cover.astype(jnp.float32))  # (T, N)
+    counts = jnp.minimum(inc[:, -1].astype(jnp.int32), K)
+
+    targets = jnp.arange(1, K + 1, dtype=jnp.float32)
+    pos = _batched_searchsorted(inc, targets)
+    pos = jnp.clip(pos, 0, n - 1).astype(jnp.int32)
+    gauss_idx = order[pos]  # (T, K)
+
+    if not with_inverse:
+        return TileBins(gauss_idx=gauss_idx, counts=counts)
+
+    # Inverse map in sorted space: duplicate d of Gaussian g covers tile
+    # tile_d with within-tile slot inc[tile_d, g] - 1 (same row-major slot ->
+    # cell walk as the pair table; float division for traced-divisor div/mod).
+    slots = jnp.arange(max_dup, dtype=jnp.int32)
+    inv_bw = 1.0 / jnp.maximum(bw, 1).astype(jnp.float32)[:, None]
+    di = jnp.floor(slots[None, :].astype(jnp.float32) * inv_bw).astype(jnp.int32)
+    dj = slots[None, :] - di * bw[:, None]
+    tile_d = (y0[:, None] + di) * tx + (x0[:, None] + dj)  # (N, max_dup)
+    valid = mask_s[:, None] & (slots[None, :] < n_touched[:, None])
+    tile_d = jnp.where(valid, tile_d, 0)
+    g_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    slot_d = inc.reshape(-1)[tile_d * n + g_col].astype(jnp.int32) - 1
+    slot_d = jnp.where(valid & (slot_d < K), slot_d, -1)
+
+    # back to original Gaussian order
+    inv_order = jnp.argsort(order)
+    return TileBins(
+        gauss_idx=gauss_idx,
+        counts=counts,
+        inv_tile=tile_d[inv_order],
+        inv_slot=slot_d[inv_order],
+    )

@@ -34,7 +34,7 @@ from gsdx.kernels.composite import (
     composite_tiles_pallas_bwd,
     composite_tiles_xla,
 )
-from gsdx.render.binning import TileGrid, bin_gaussians
+from gsdx.render.binning import TileGrid, bin_gaussians, bin_gaussians_mask
 from gsdx.render.projection import project_gaussians
 
 
@@ -55,6 +55,7 @@ class RasterizeConfig(NamedTuple):
     chunk: int = 128  # Gaussians per aligned compositing block
     sub_chunk: int = 64  # compute granule within a block (divides chunk)
     backend: str = "auto"  # "auto" | "pallas" | "pallas_interpret" | "xla"
+    binning: str = "sort"  # "sort" | "mask" (sort-free; see bin_gaussians_mask)
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":
@@ -152,6 +153,34 @@ def _take_rows_bwd(res, g):
 _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
+@jax.custom_vjp
+def _take_rows_invmap(feats, idx, inv_tile, inv_slot):
+    """Row gather whose backward is a gather-sum over the binning inverse map.
+
+    Each Gaussian's gradient is the sum of its <= max_dup per-tile gradient
+    rows, located by (inv_tile, inv_slot) — all gathers, no scatter at all
+    (the scatter-add VJP of `_take_rows` still costs ~2.8 ms at bench scale;
+    this runs in the gather regime TPUs are fast at).
+    """
+    return feats[idx]
+
+
+def _take_rows_invmap_fwd(feats, idx, inv_tile, inv_slot):
+    return feats[idx], (inv_tile, inv_slot, idx.shape[1])
+
+
+def _take_rows_invmap_bwd(res, g):
+    inv_tile, inv_slot, k = res
+    gflat = g.reshape(-1, g.shape[-1])  # (T*K, F)
+    lin = inv_tile * k + jnp.maximum(inv_slot, 0)  # (N, max_dup)
+    used = (inv_slot >= 0).astype(g.dtype)[..., None]
+    grad = (gflat[lin] * used).sum(axis=1)  # (N, F)
+    return grad, None, None, None
+
+
+_take_rows_invmap.defvjp(_take_rows_invmap_fwd, _take_rows_invmap_bwd)
+
+
 # --------------------------------------------------------------------------
 # full rasterization
 # --------------------------------------------------------------------------
@@ -199,7 +228,8 @@ def rasterize(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
-    bins = bin_gaussians(
+    bin_fn = bin_gaussians_mask if cfg.binning == "mask" else bin_gaussians
+    bins = bin_fn(
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(proj.radius),
         jax.lax.stop_gradient(proj.depth),
@@ -220,7 +250,12 @@ def rasterize(
         ],
         axis=-1,
     )  # (N, FEAT_DIM)
-    tile_feats = _take_rows(feats, bins.gauss_idx)  # (T, K, F)
+    if bins.inv_slot is not None:
+        tile_feats = _take_rows_invmap(
+            feats, bins.gauss_idx, bins.inv_tile, bins.inv_slot
+        )  # (T, K, F)
+    else:
+        tile_feats = _take_rows(feats, bins.gauss_idx)  # (T, K, F)
     tile_feats = tile_feats.transpose(0, 2, 1)  # (T, F, K)
 
     accum, logt = _composite(tile_feats, bins.counts, grid, cfg, n_chan + 1)

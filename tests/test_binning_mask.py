@@ -1,0 +1,95 @@
+"""Sort-free binning (`bin_gaussians_mask`) vs the sort-based reference:
+bit-identical tile lists, a consistent inverse map, and matching gradients
+through the inverse-map gather backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsdx.core.cameras import make_camera
+from gsdx.render.binning import TileGrid, bin_gaussians, bin_gaussians_mask
+from gsdx.render.rasterize import RasterizeConfig, rasterize
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _random_screen(rng, n, grid):
+    mean2d = jnp.asarray(
+        rng.uniform(-30, grid.width + 30, size=(n, 2)).astype(np.float32))
+    radius = jnp.asarray(rng.uniform(1, 60, size=(n,)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 5, size=(n,)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=n) > 0.1)
+    return mean2d, radius, depth, mask
+
+
+@pytest.mark.parametrize("K,dup", [(64, 8), (128, 16), (32, 4)])
+def test_mask_binning_matches_sort(rng, K, dup):
+    grid = TileGrid(height=180, width=320, tile_h=16, tile_w=128)
+    screen = _random_screen(rng, 300, grid)
+    a = bin_gaussians(*screen, grid, K, dup)
+    b = bin_gaussians_mask(*screen, grid, K, dup)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    ca = np.asarray(a.counts)
+    ga, gb = np.asarray(a.gauss_idx), np.asarray(b.gauss_idx)
+    for t in range(grid.num_tiles):
+        np.testing.assert_array_equal(ga[t, :ca[t]], gb[t, :ca[t]])
+
+
+def test_inverse_map_is_exact_inverse(rng):
+    """(inv_tile, inv_slot) enumerates exactly the (tile, slot) cells that
+    hold each Gaussian in the forward tables."""
+    grid = TileGrid(height=180, width=320, tile_h=16, tile_w=128)
+    n, dup, K = 300, 8, 64
+    b = bin_gaussians_mask(*_random_screen(rng, n, grid), grid, K, dup)
+    counts = np.asarray(b.counts)
+    gauss_idx = np.asarray(b.gauss_idx)
+    it, isl = np.asarray(b.inv_tile), np.asarray(b.inv_slot)
+
+    inv_pairs = {
+        (int(it[g, d]), int(isl[g, d]), g)
+        for g in range(n) for d in range(dup) if isl[g, d] >= 0
+    }
+    fwd_pairs = {
+        (t, s, int(gauss_idx[t, s]))
+        for t in range(grid.num_tiles) for s in range(counts[t])
+    }
+    assert inv_pairs == fwd_pairs
+
+
+def test_mask_binning_grads_match_sort(rng):
+    """Full rasterize gradients agree between the scatter-add backward
+    (sort binning) and the inverse-map gather-sum backward (mask binning)."""
+    n = 80
+    H, W = 96, 128
+    means = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    means[:, 2] = means[:, 2] * 0.3 + 2.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(0.01, 0.05, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, size=(n, 1)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    k = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]], np.float32)
+    cam = make_camera(k, np.eye(4, dtype=np.float32), width=W, height=H)
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    def loss(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
+
+    cfg_s = RasterizeConfig(binning="sort", backend="xla")
+    cfg_m = RasterizeConfig(binning="mask", backend="xla")
+    out_s = rasterize(*args, cam, cfg_s)
+    out_m = rasterize(*args, cam, cfg_m)
+    np.testing.assert_allclose(np.asarray(out_s.im), np.asarray(out_m.im),
+                               atol=1e-6)
+
+    g_s = jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_m = jax.grad(lambda *a: loss(cfg_m, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_s, g_m):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-5)

@@ -38,6 +38,13 @@ from gsdx.render.binning import TileGrid, bin_gaussians, bin_gaussians_mask
 from gsdx.render.projection import project_gaussians
 
 
+# Static-N crossover for binning="auto": below this the mask binner's
+# O(tiles*N*K) compare-sum beats the latency-bound pair sort (TPU v5e
+# fwd+bwd: 5k: 6.0 vs 8.6 ms; 8k: 8.5 vs 9.4; 16k: 14.3 vs 10.2;
+# 65k: 61 vs 14).
+BINNING_AUTO_N = 8192
+
+
 class RasterizeConfig(NamedTuple):
     """Static rasterizer configuration (hashable; part of jit cache keys).
 
@@ -55,7 +62,10 @@ class RasterizeConfig(NamedTuple):
     chunk: int = 128  # Gaussians per aligned compositing block
     sub_chunk: int = 64  # compute granule within a block (divides chunk)
     backend: str = "auto"  # "auto" | "pallas" | "pallas_interpret" | "xla"
-    binning: str = "sort"  # "sort" | "mask" (sort-free; see bin_gaussians_mask)
+    # "auto" picks per static N: "mask" (sort-free compare-sum binning, wins
+    # below ~BINNING_AUTO_N where its O(tiles*N) work beats the latency-bound
+    # pair sort) else "sort". Both produce bit-identical bins.
+    binning: str = "auto"  # "auto" | "sort" | "mask"
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":
@@ -154,6 +164,24 @@ _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 @jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """Permutation row gather; backward is the inverse-permutation gather
+    (autodiff would transpose it into a scatter)."""
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_rows_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+@jax.custom_vjp
 def _take_rows_invmap(feats, idx, inv_tile, inv_slot):
     """Row gather whose backward is a gather-sum over the binning inverse map.
 
@@ -228,16 +256,25 @@ def rasterize(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
-    bin_fn = bin_gaussians_mask if cfg.binning == "mask" else bin_gaussians
-    bins = bin_fn(
+    bin_args = (
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(proj.radius),
         jax.lax.stop_gradient(proj.depth),
         proj.mask,
         grid,
-        max_per_tile=cfg.max_per_tile,
-        max_dup=cfg.max_dup,
     )
+    binning = cfg.binning
+    if binning == "auto":
+        binning = "mask" if n <= BINNING_AUTO_N else "sort"
+    if binning == "mask":
+        bins = bin_gaussians_mask(
+            *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+            with_gauss_idx=False,
+        )
+    else:
+        bins = bin_gaussians(
+            *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+        )
 
     feats = jnp.concatenate(
         [
@@ -250,9 +287,13 @@ def rasterize(
         ],
         axis=-1,
     )  # (N, FEAT_DIM)
-    if bins.inv_slot is not None:
+    if bins.pos is not None:
+        # Sorted-space composition: one permutation gather, then a row gather
+        # by per-tile positions; gradients ride the inverse map + inverse
+        # permutation (gathers only — no scatter on the backward path).
+        feats_sorted = _permute_rows(feats, bins.order, bins.inv_order)
         tile_feats = _take_rows_invmap(
-            feats, bins.gauss_idx, bins.inv_tile, bins.inv_slot
+            feats_sorted, bins.pos, bins.inv_tile, bins.inv_slot
         )  # (T, K, F)
     else:
         tile_feats = _take_rows(feats, bins.gauss_idx)  # (T, K, F)

@@ -27,11 +27,12 @@ def _random_screen(rng, n, grid):
 
 
 @pytest.mark.parametrize("K,dup", [(64, 8), (128, 16), (32, 4)])
-def test_mask_binning_matches_sort(rng, K, dup):
+@pytest.mark.parametrize("pos_method", ["csum", "search"])
+def test_mask_binning_matches_sort(rng, K, dup, pos_method):
     grid = TileGrid(height=180, width=320, tile_h=16, tile_w=128)
     screen = _random_screen(rng, 300, grid)
     a = bin_gaussians(*screen, grid, K, dup)
-    b = bin_gaussians_mask(*screen, grid, K, dup)
+    b = bin_gaussians_mask(*screen, grid, K, dup, pos_method=pos_method)
     np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
     ca = np.asarray(a.counts)
     ga, gb = np.asarray(a.gauss_idx), np.asarray(b.gauss_idx)
@@ -40,17 +41,22 @@ def test_mask_binning_matches_sort(rng, K, dup):
 
 
 def test_inverse_map_is_exact_inverse(rng):
-    """(inv_tile, inv_slot) enumerates exactly the (tile, slot) cells that
-    hold each Gaussian in the forward tables."""
+    """(inv_tile, inv_slot) — in depth-sorted gaussian space — enumerates
+    exactly the (tile, slot) cells that hold each Gaussian in the forward
+    tables, and pos/order compose to gauss_idx."""
     grid = TileGrid(height=180, width=320, tile_h=16, tile_w=128)
     n, dup, K = 300, 8, 64
     b = bin_gaussians_mask(*_random_screen(rng, n, grid), grid, K, dup)
     counts = np.asarray(b.counts)
     gauss_idx = np.asarray(b.gauss_idx)
+    order = np.asarray(b.order)
+    np.testing.assert_array_equal(order[np.asarray(b.pos)], gauss_idx)
+    np.testing.assert_array_equal(np.asarray(b.inv_order)[order],
+                                  np.arange(n))
     it, isl = np.asarray(b.inv_tile), np.asarray(b.inv_slot)
 
     inv_pairs = {
-        (int(it[g, d]), int(isl[g, d]), g)
+        (int(it[g, d]), int(isl[g, d]), int(order[g]))
         for g in range(n) for d in range(dup) if isl[g, d] >= 0
     }
     fwd_pairs = {

@@ -38,8 +38,6 @@ def obtain_mask(data_path: str, prompt: str, n_cameras: int = 4):
     (`obtain_mask.py`)."""
     from PIL import Image
 
-    from gsdx.realworld.perception import ThresholdSegmenter
-
     segmenter = _make_segmenter()
     for c in range(n_cameras):
         files = _episode_frames(data_path, c)
@@ -56,16 +54,11 @@ def obtain_mask(data_path: str, prompt: str, n_cameras: int = 4):
 
 
 def _make_segmenter():
-    """GroundingDINO+SAM when installed, else the threshold fallback."""
-    try:
-        import groundingdino  # noqa: F401
-        import segment_anything  # noqa: F401
+    """GroundingDINO+SAM when installed with checkpoints, else threshold
+    fallback (`gsdx.realworld.segmentation.make_segmenter`)."""
+    from gsdx.realworld.segmentation import make_segmenter
 
-        raise ImportError  # full integration requires checkpoints; TODO
-    except ImportError:
-        from gsdx.realworld.perception import ThresholdSegmenter
-
-        return ThresholdSegmenter()
+    return make_segmenter()
 
 
 def merge_mask(data_path: str, n_cameras: int = 4):

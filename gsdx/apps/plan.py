@@ -16,14 +16,15 @@ import os
 import numpy as np
 
 
-def get_state_cur(env, pm, max_nobj: int, fps_radius: float):
+def get_state_cur(env, pm, max_nobj: int, fps_radius: float,
+                  prompt: str = "object"):
     """Perceive the current object keypoint state (`get_state_cur`,
     `plan_utils.py:367-397`): fused cloud -> FPS -> radius-FPS."""
     import jax.numpy as jnp
 
     from gsdx.kernels.fps import farthest_point_sampling, fps_rad_idx
 
-    pts, cols = pm.get_tabletop_points_env(env)
+    pts, cols = pm.get_tabletop_points_env(env, prompt=prompt)
     if len(pts) == 0:
         raise RuntimeError("perception returned no points")
     fps1 = farthest_point_sampling(
@@ -41,6 +42,38 @@ def chamfer_np(x, y):
     return d.min(1).mean() + d.min(0).mean()
 
 
+def make_real_env(cameras: str, robot_ip: str, calibration: str | None,
+                  capture_fps: float = 15.0):
+    """Compose RealEnv(MultiCamera, arm) for the closed loop
+    (`src/real_world/plan.py:218-235`).
+
+    cameras: "synthetic" / "synthetic:N" (test sources), or comma-separated
+    RealSense serial numbers. robot_ip: "fake" or an xArm7 IP. A missing
+    calibration is an error with a real robot (world<->base transforms would
+    be garbage); with a fake arm it falls back to identity extrinsics.
+    """
+    from gsdx.realworld.cameras import RealSenseSource, SyntheticSource
+    from gsdx.realworld.real_env import RealEnv
+    from gsdx.realworld.robot import FakeArm, XArm7
+
+    if cameras.startswith("synthetic"):
+        n = int(cameras.split(":")[1]) if ":" in cameras else 4
+        sources = [SyntheticSource(seed=i) for i in range(n)]
+    else:
+        sources = [RealSenseSource(s.strip()) for s in cameras.split(",")]
+    real_arm = robot_ip not in ("fake", "", None)
+    arm = XArm7(robot_ip) if real_arm else FakeArm()
+    env = RealEnv(sources, arm=arm, capture_fps=capture_fps,
+                  calibration_path=calibration)
+    if not env.R_cam2world:
+        if real_arm:
+            raise RuntimeError(
+                "real robot requires --calibration (run gsdx.apps.calibrate)")
+        env.R_cam2world = [np.eye(3) for _ in sources]
+        env.t_cam2world = [np.zeros(3) for _ in sources]
+    return env
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
@@ -54,6 +87,14 @@ def main(argv=None):
     p.add_argument("--out", default="out/plan")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=43)
+    p.add_argument("--cameras", default="synthetic:4",
+                   help="'synthetic[:N]' or comma-separated RealSense serials")
+    p.add_argument("--robot_ip", default="fake",
+                   help="'fake' or the xArm7 IP address")
+    p.add_argument("--calibration", default=None,
+                   help="calibration pickle (cam/base -> world transforms)")
+    p.add_argument("--prompt", default="object",
+                   help="perception text prompt (grounded-SAM when available)")
     args = p.parse_args(argv)
 
     import jax
@@ -85,16 +126,17 @@ def main(argv=None):
         cols = np.tile(np.array([0.9, 0.2, 0.1], np.float32), (400, 1))
         env = FakeEnv(pts, cols)
     else:
-        raise NotImplementedError(
-            "real env requires camera/robot hardware; wire RealEnv here"
-        )
+        env = make_real_env(args.cameras, args.robot_ip, args.calibration)
     env.start()
-    pm = PerceptionModule()
+    from gsdx.realworld.segmentation import make_segmenter
+
+    pm = PerceptionModule(segmenter=make_segmenter())
 
     fps_radius = sum(data_cfg.fps_radius_range) / 2
     adj_thresh = sum(data_cfg.adj_radius_range) / 2
 
-    state_cur, full_pts = get_state_cur(env, pm, data_cfg.max_nobj, fps_radius)
+    state_cur, full_pts = get_state_cur(env, pm, data_cfg.max_nobj,
+                                        fps_radius, args.prompt)
     if args.target:
         target_state = np.load(args.target).astype(np.float32)
     else:
@@ -130,7 +172,7 @@ def main(argv=None):
     chamfers = []
     for i in range(start_i, args.n_actions):
         state_cur, full_pts = get_state_cur(env, pm, data_cfg.max_nobj,
-                                            fps_radius)
+                                            fps_radius, args.prompt)
         cd_before = chamfer_np(full_pts, target_state)
         # pad perceived state to the planner's n_obj
         sc = np.zeros((n_obj, 3), np.float32)
@@ -144,7 +186,8 @@ def main(argv=None):
         y1 = y0 - 0.01 * length * np.sin(theta)
         env.step(np.array([x0, y0, x1, y1]))
 
-        _, full_after = get_state_cur(env, pm, data_cfg.max_nobj, fps_radius)
+        _, full_after = get_state_cur(env, pm, data_cfg.max_nobj,
+                                      fps_radius, args.prompt)
         cd_after = chamfer_np(full_after, target_state)
         chamfers.append(cd_after)
         np.savez(os.path.join(args.out, f"interaction_{i}.npz"),

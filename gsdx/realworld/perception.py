@@ -65,14 +65,28 @@ class PerceptionModule:
         R_list: List[np.ndarray],  # cam->world rotations
         t_list: List[np.ndarray],
         prompt: str = "object",
+        obj_names: Optional[List[str]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fused object point cloud (`get_tabletop_points`,
         `perception_module.py:128-236`): per-view mask -> unproject ->
         world -> bbox crop -> voxel downsample 5mm -> iterative statistical
-        outlier removal. Returns (points (M,3), colors (M,3) in [0,1])."""
+        outlier removal. Returns (points (M,3), colors (M,3) in [0,1]).
+
+        With ``obj_names`` and an instance-capable segmenter (grounded-SAM),
+        the per-view filter is the reference's table-subtraction: keep
+        everything except the table mask minus the object masks
+        (`perception_module.py:183-199`); otherwise the provider's single
+        object mask is used directly.
+        """
         pts_all, col_all = [], []
+        use_table_flow = obj_names and hasattr(self.segmenter,
+                                               "table_object_masks")
         for c in range(len(colors)):
-            mask = self.segmenter.segment(colors[c], prompt)
+            if use_table_flow:
+                _, _, mask = self.segmenter.table_object_masks(
+                    colors[c], obj_names)
+            else:
+                mask = self.segmenter.segment(colors[c], prompt)
             depth = depths[c].astype(np.float32)
             if depths[c].dtype == np.uint16:
                 depth = depth / 1000.0

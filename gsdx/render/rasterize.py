@@ -34,15 +34,26 @@ from gsdx.kernels.composite import (
     composite_tiles_pallas_bwd,
     composite_tiles_xla,
 )
-from gsdx.render.binning import TileGrid, bin_gaussians, bin_gaussians_mask
+from gsdx.render.binning import (
+    TileGrid,
+    bin_gaussians,
+    bin_gaussians_blocksearch,
+    bin_gaussians_mask,
+)
 from gsdx.render.projection import project_gaussians
 
 
 # Static-N crossover for binning="auto": below this the mask binner's
 # O(tiles*N*K) compare-sum beats the latency-bound pair sort (TPU v5e
-# fwd+bwd: 5k: 6.0 vs 8.6 ms; 8k: 8.5 vs 9.4; 16k: 14.3 vs 10.2;
-# 65k: 61 vs 14).
+# fwd+bwd: 5k: 6.0 vs 8.7 ms; 16k: ~14 vs 10.0; 65k: 61 vs 14.7).
 BINNING_AUTO_N = 8192
+
+# For binning="blocksearch": backward feature-gradient routing crossover.
+# Below this the (N, max_dup) inverse-map gather-sum wins; above it the T*K
+# scatter-add does: gather cost scales with N*max_dup rows while the scatter
+# is a fixed T*K rows, and big-source row gathers degrade sharply on TPU v5e
+# (benchmarks/profile_binning_variants.py: +16..+27 ms for (65k, 16) maps).
+BWD_INVMAP_MAX_N = 12288
 
 
 class RasterizeConfig(NamedTuple):
@@ -64,8 +75,9 @@ class RasterizeConfig(NamedTuple):
     backend: str = "auto"  # "auto" | "pallas" | "pallas_interpret" | "xla"
     # "auto" picks per static N: "mask" (sort-free compare-sum binning, wins
     # below ~BINNING_AUTO_N where its O(tiles*N) work beats the latency-bound
-    # pair sort) else "sort". Both produce bit-identical bins.
-    binning: str = "auto"  # "auto" | "sort" | "mask"
+    # pair sort) else "sort". "blocksearch" is the two-phase block-search
+    # variant (opt-in). All produce bit-identical bins.
+    binning: str = "auto"  # "auto" | "sort" | "mask" | "blocksearch"
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":
@@ -265,8 +277,19 @@ def rasterize(
     )
     binning = cfg.binning
     if binning == "auto":
+        # Measured crossover (benchmarks/bench_blocksearch_ab.py, TPU v5e):
+        # mask compare-sum wins below ~8k; the pair-sort wins above. The
+        # XLA blocksearch variant ties sort at 16k but loses elsewhere
+        # (5k: 6.9 vs 6.0 mask; 65k: 16.2 vs 14.7 sort), so it is opt-in
+        # (binning="blocksearch") until the Pallas binning kernel lands.
         binning = "mask" if n <= BINNING_AUTO_N else "sort"
-    if binning == "mask":
+    if binning == "blocksearch":
+        use_invmap = n <= BWD_INVMAP_MAX_N
+        bins = bin_gaussians_blocksearch(
+            *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+            with_inverse=use_invmap, with_gauss_idx=not use_invmap,
+        )
+    elif binning == "mask":
         bins = bin_gaussians_mask(
             *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
             with_gauss_idx=False,
@@ -287,7 +310,7 @@ def rasterize(
         ],
         axis=-1,
     )  # (N, FEAT_DIM)
-    if bins.pos is not None:
+    if bins.inv_tile is not None:
         # Sorted-space composition: one permutation gather, then a row gather
         # by per-tile positions; gradients ride the inverse map + inverse
         # permutation (gathers only — no scatter on the backward path).
@@ -296,6 +319,8 @@ def rasterize(
             feats_sorted, bins.pos, bins.inv_tile, bins.inv_slot
         )  # (T, K, F)
     else:
+        # Original-order gather; backward is a T*K-row scatter-add (wins at
+        # large N where (N, max_dup) inverse-map gathers degrade).
         tile_feats = _take_rows(feats, bins.gauss_idx)  # (T, K, F)
     tile_feats = tile_feats.transpose(0, 2, 1)  # (T, F, K)
 

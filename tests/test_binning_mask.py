@@ -66,6 +66,73 @@ def test_inverse_map_is_exact_inverse(rng):
     assert inv_pairs == fwd_pairs
 
 
+@pytest.mark.parametrize("K,dup,block", [(64, 8, 16), (128, 16, 32), (32, 4, 128)])
+def test_blocksearch_binning_matches_sort(rng, K, dup, block):
+    """Two-phase block-searchsorted binning is bit-identical to the sort
+    reference (lists, counts, pos/order composition)."""
+    from gsdx.render.binning import bin_gaussians_blocksearch
+
+    grid = TileGrid(height=180, width=320, tile_h=16, tile_w=128)
+    screen = _random_screen(rng, 300, grid)
+    a = bin_gaussians(*screen, grid, K, dup)
+    b = bin_gaussians_blocksearch(*screen, grid, K, dup, with_inverse=True,
+                                  with_gauss_idx=True, block=block)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    ca = np.asarray(a.counts)
+    ga, gb = np.asarray(a.gauss_idx), np.asarray(b.gauss_idx)
+    for t in range(grid.num_tiles):
+        np.testing.assert_array_equal(ga[t, :ca[t]], gb[t, :ca[t]])
+    # inverse map agrees with the mask binner's
+    m = bin_gaussians_mask(*screen, grid, K, dup)
+    np.testing.assert_array_equal(np.asarray(b.order), np.asarray(m.order))
+    np.testing.assert_array_equal(
+        np.where(np.asarray(b.inv_slot) >= 0, np.asarray(b.inv_tile), -1),
+        np.where(np.asarray(m.inv_slot) >= 0, np.asarray(m.inv_tile), -1))
+    np.testing.assert_array_equal(np.asarray(b.inv_slot),
+                                  np.asarray(m.inv_slot))
+
+
+def test_blocksearch_binning_grads_match_sort(rng, monkeypatch):
+    """rasterize(binning="blocksearch") — with either backward routing —
+    matches the sort+scatter reference in outputs and grads."""
+    import importlib
+
+    R = importlib.import_module("gsdx.render.rasterize")
+
+    n = 80
+    H, W = 96, 128
+    means = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    means[:, 2] = means[:, 2] * 0.3 + 2.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(0.01, 0.05, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, size=(n, 1)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    k = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]], np.float32)
+    cam = make_camera(k, np.eye(4, dtype=np.float32), width=W, height=H)
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    def loss(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
+
+    cfg_s = RasterizeConfig(binning="sort", backend="xla")
+    cfg_a = RasterizeConfig(binning="blocksearch", backend="xla")
+    ref = rasterize(*args, cam, cfg_s)
+    g_ref = jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4))(*args)
+
+    for invmap_max in (1 << 20, 0):  # invmap routing, then scatter routing
+        monkeypatch.setattr(R, "BWD_INVMAP_MAX_N", invmap_max)
+        out = rasterize(*args, cam, cfg_a)
+        np.testing.assert_allclose(np.asarray(ref.im), np.asarray(out.im),
+                                   atol=1e-6)
+        g = jax.grad(lambda *a: loss(cfg_a, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(g_ref, g):
+            scale = np.abs(np.asarray(a)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(b) / scale,
+                                       np.asarray(a) / scale, atol=1e-5)
+
+
 def test_mask_binning_grads_match_sort(rng):
     """Full rasterize gradients agree between the scatter-add backward
     (sort binning) and the inverse-map gather-sum backward (mask binning)."""

@@ -96,24 +96,117 @@ def _chunk_alpha(chunk, px, py, smask):
     return alpha, e, clamp_gate & keep, dx, dy
 
 
-def _load_subchunk(feats_ref, j, chunk: int, sub: int):
+def _load_subchunk(feats_ref, j, chunk: int, sub: int, lead: bool = True):
     """Sub-chunk j of width ``sub`` from the (1, F, K) feats block.
 
     Mosaic can only prove 128-lane alignment for dynamic lane slices, so the
     load grabs the containing 128-wide block and a `lax.switch` picks the
     static sub-slice — letting the compositor work in sub-128 granules
-    without unaligned vector loads.
+    without unaligned vector loads. ``lead=False`` reads a (F, K) scratch
+    block (the presorted copy) instead of the (1, F, K) input block.
     """
+    def block(k0):
+        if lead:
+            return feats_ref[0, :, k0]
+        return feats_ref[:, k0]
+
     if sub == chunk:
-        return feats_ref[0, :, pl.ds(j * chunk, chunk)]
+        return block(pl.ds(j * chunk, chunk))
     per = chunk // sub
     b = j // per
     h = j - b * per
-    cf_full = feats_ref[0, :, pl.ds(b * chunk, chunk)]  # (F, chunk)
+    cf_full = block(pl.ds(b * chunk, chunk))  # (F, chunk)
     return jax.lax.switch(
         h, [lambda hh=hh: cf_full[:, hh * sub:(hh + 1) * sub]
             for hh in range(per)]
     )
+
+
+def _presort_onehot(blk, count, depth_row: int, slab: int):
+    """Depth-rank one-hot permutation for one (F, K) tile feature block.
+
+    Enables consuming UNSORTED per-tile lists (binning with no global depth
+    argsort anywhere): each column's front-to-back rank is its pairwise
+    compare-count (ties broken by slot index, matching the stable global
+    argsort of the sort-based binners), turned into a (K, K) one-hot matrix
+    that permutes the feature columns with one MXU matmul — exact, because
+    each output element is a sum with exactly one nonzero f32 term.
+
+    Work is count-adaptive: slabs of ``slab`` columns starting past ``count``
+    are skipped (their keys are the sentinel; every skipped column collapses
+    to rank == count, which only ever lands in the masked slot range).
+    Returns (sorted_block (F, K), oslabs list of (slab, K) one-hot slabs);
+    the backward un-sorts gradients slab-by-slab with the transposed slabs.
+    """
+    F, K = blk.shape
+    nslab = K // slab
+    keys = blk[depth_row:depth_row + 1, :]  # (1, K)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    # finite sentinel, NOT +inf: keys ride through selection matmuls where
+    # 0 * inf would poison the contraction with NaNs
+    keys = jnp.where(slot < count, keys, jnp.float32(1e30))
+
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (slab, K), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (slab, K), 0)
+    ones_row = jnp.ones((1, slab), jnp.bfloat16)
+
+    # Every dot that moves f32 keys/ranks/features MUST run at HIGHEST
+    # precision: the TPU MXU's default one-pass bf16 truncates f32 operands
+    # (nearby depth keys collide; ranks > 256 aren't even representable),
+    # silently corrupting the permutation. The 3-pass split is exact here
+    # because one operand of every product is an exactly-representable 0/1.
+    HI = jax.lax.Precision.HIGHEST
+
+    def keys_as_col(vec, s):
+        # (1, K) -> (slab, 1) column s*slab..s*slab+slab via an MXU
+        # contraction with a slab-selection one-hot (Mosaic has no cheap
+        # lane->sublane transpose; this is one tiny matmul).
+        E = (col_j == row_i + s * slab).astype(jnp.float32)
+        return jax.lax.dot_general(
+            E, vec, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # (slab, 1)
+
+    rank = jnp.zeros((1, K), jnp.float32)
+    for s in range(nslab):
+        def slab_rank(r, s=s):
+            kc = keys_as_col(keys, s)  # (slab, 1)
+            gi = row_i[:, :1] + s * slab  # (slab, 1) global i
+            before = (kc < keys) | ((kc == keys) & (gi < col_j))
+            C = before.astype(jnp.bfloat16)  # 0/1 exact in bf16
+            part = jax.lax.dot_general(
+                ones_row, C, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, K) integer-valued, exact in f32
+            return r + part
+
+        rank = jax.lax.cond(s * slab < count, slab_rank, lambda r: r, rank)
+
+    # Build the one-hot slab-by-slab and apply it in the same count-gated
+    # cond: at low occupancy only ceil(count/slab) of the K/slab
+    # (F, slab) @ (slab, K) HIGHEST-precision matmuls run (HIGHEST is 3-6x
+    # a plain pass — gating it is most of the presort cost at small counts).
+    r_iota = col_j.astype(jnp.float32)  # (slab, K) target rank per lane
+    oslabs = []
+    sorted_blk = jnp.zeros((F, K), jnp.float32)
+    for s in range(nslab):
+        def slab_apply(sb, s=s):
+            rc = keys_as_col(rank, s)  # (slab, 1) rank of columns in slab
+            osl = (rc == r_iota).astype(jnp.float32)  # (slab, K)
+            sb = sb + jax.lax.dot_general(
+                blk[:, s * slab:(s + 1) * slab], osl,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )
+            return sb, osl
+
+        sorted_blk, osl = jax.lax.cond(
+            s * slab < count, slab_apply,
+            lambda sb: (sb, jnp.zeros((slab, K), jnp.float32)),
+            sorted_blk,
+        )
+        oslabs.append(osl)
+    return sorted_blk, oslabs
 
 
 def _fwd_kernel(
@@ -122,13 +215,14 @@ def _fwd_kernel(
     feats_ref,
     accum_ref,
     logt_ref,
-    *,
+    *scratch,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
     chunk: int,
     n_accum: int,
     sub_chunk: int,
+    presort: bool = False,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]  # global tile id (differs from i under shard_map)
@@ -137,13 +231,23 @@ def _fwd_kernel(
     P = tile_h * tile_w
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
 
+    if presort:
+        (sort_ref,) = scratch
+        sorted_blk, _ = _presort_onehot(
+            feats_ref[0], count, 5 + n_accum, chunk
+        )
+        sort_ref[...] = sorted_blk
+        src, lead = sort_ref, False
+    else:
+        src, lead = feats_ref, True
+
     sub = sub_chunk
     nchunks = pl.cdiv(count, sub)
 
     def body(j, carry):
         accum, logt = carry  # (ACCUM_DIM, P), (1, P)
         k0 = j * sub
-        cf = _load_subchunk(feats_ref, j, chunk, sub)  # (FEAT_DIM, SUB)
+        cf = _load_subchunk(src, j, chunk, sub, lead)  # (FEAT_DIM, SUB)
         slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
         smask = slot < count  # (SUB, 1)
         alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)
@@ -176,13 +280,14 @@ def _bwd_kernel(
     g_accum_ref,
     g_logt_ref,
     grad_ref,
-    *,
+    *scratch,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
     chunk: int,
     n_accum: int,
     sub_chunk: int,
+    presort: bool = False,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]
@@ -194,6 +299,20 @@ def _bwd_kernel(
     logt_final = logt_final_ref[0]  # (1, P)
     g_accum = g_accum_ref[0]  # (n_accum, P)
     g_logt = g_logt_ref[0]  # (1, P)
+
+    if presort:
+        # recompute the depth-rank permutation (cheaper than persisting it
+        # across the fwd/bwd HBM round-trip); grads are computed in sorted
+        # space and un-sorted at the end with the transposed one-hot slabs.
+        sort_ref, gsort_ref = scratch
+        sorted_blk, oslabs = _presort_onehot(
+            feats_ref[0], count, 5 + n_accum, chunk
+        )
+        sort_ref[...] = sorted_blk
+        src, lead, gdst = sort_ref, False, gsort_ref
+        gsort_ref[...] = jnp.zeros((FEAT_DIM, K), jnp.float32)
+    else:
+        src, lead, gdst = feats_ref, True, None
 
     grad_ref[0] = jnp.zeros((FEAT_DIM, K), jnp.float32)
 
@@ -272,7 +391,10 @@ def _bwd_kernel(
         s_after, b_after = carry  # (1, P) suffixes over later gaussians
         b = nblocks - 1 - jj
         k0b = b * chunk
-        cf_full = feats_ref[0, :, pl.ds(k0b, chunk)]  # (FEAT_DIM, chunk)
+        if lead:
+            cf_full = src[0, :, pl.ds(k0b, chunk)]  # (FEAT_DIM, chunk)
+        else:
+            cf_full = src[:, pl.ds(k0b, chunk)]
         gsubs = [None] * per
         # sub-chunks in reverse depth order; lax.cond skips fully-dead ones
         for h in range(per - 1, -1, -1):
@@ -288,17 +410,39 @@ def _bwd_kernel(
             )
             gsubs[h] = gsub
         gblock = gsubs[0] if per == 1 else jnp.concatenate(gsubs, axis=1)
-        grad_ref[0, :, pl.ds(k0b, chunk)] = gblock
+        if presort:
+            gdst[:, pl.ds(k0b, chunk)] = gblock
+        else:
+            grad_ref[0, :, pl.ds(k0b, chunk)] = gblock
         return s_after, b_after
 
     zero = jnp.zeros((1, P), jnp.float32)
     jax.lax.fori_loop(0, nblocks, body, (zero, zero))
+    if presort:
+        # un-sort: grad_unsorted[:, j] = grad_sorted[:, rank_j]; HIGHEST for
+        # exact f32 x one-hot products (MXU default truncates f32 to bf16);
+        # slab-gated like the forward apply (dead slabs' grads are zeros).
+        gfull = gdst[...]
+        slab = chunk
+        gparts = []
+        for s in range(len(oslabs)):
+            gparts.append(jax.lax.cond(
+                s * slab < count,
+                lambda s=s: jax.lax.dot_general(
+                    gfull, oslabs[s], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                lambda: jnp.zeros((FEAT_DIM, slab), jnp.float32),
+            ))
+        grad_ref[0] = (gparts[0] if len(gparts) == 1
+                       else jnp.concatenate(gparts, axis=1))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
-                     "n_accum", "sub_chunk"),
+                     "n_accum", "sub_chunk", "presort"),
 )
 def composite_tiles_pallas(
     tile_feats: jnp.ndarray,
@@ -312,11 +456,14 @@ def composite_tiles_pallas(
     tile_ids: jnp.ndarray | None = None,
     n_accum: int = ACCUM_DIM,
     sub_chunk: int | None = None,
+    presort: bool = False,
 ):
     """Forward compositing. tile_feats (T, FEAT_DIM, K), counts (T,) int32.
 
     tile_ids maps array rows to global tile indices for pixel-coordinate
     computation (defaults to arange; sharded callers pass their slice).
+    With ``presort`` the per-tile lists may arrive in ANY order: the kernel
+    sorts feature columns front-to-back in VMEM first (`_presort_onehot`).
     Returns accum (T, ACCUM_DIM, P) and final log-transmittance (T, 1, P).
     """
     T, F, K = tile_feats.shape
@@ -334,10 +481,14 @@ def composite_tiles_pallas(
             pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((F, K), jnp.float32)] if presort else []
+        ),
     )
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
+        presort=presort,
     )
     accum, logt = pl.pallas_call(
         kernel,
@@ -359,7 +510,7 @@ def composite_tiles_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
-                     "n_accum", "sub_chunk"),
+                     "n_accum", "sub_chunk", "presort"),
 )
 def composite_tiles_pallas_bwd(
     tile_feats: jnp.ndarray,
@@ -376,8 +527,13 @@ def composite_tiles_pallas_bwd(
     tile_ids: jnp.ndarray | None = None,
     n_accum: int = ACCUM_DIM,
     sub_chunk: int | None = None,
+    presort: bool = False,
 ):
-    """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K)."""
+    """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K).
+
+    With ``presort`` the gradient comes back in the INPUT column order
+    (the kernel re-sorts internally and un-sorts the gradient block).
+    """
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
     if tile_ids is None:
@@ -395,10 +551,15 @@ def composite_tiles_pallas_bwd(
         out_specs=pl.BlockSpec(
             (1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((F, K), jnp.float32), pltpu.VMEM((F, K), jnp.float32)]
+            if presort else []
+        ),
     )
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
+        presort=presort,
     )
     return pl.pallas_call(
         kernel,
@@ -423,11 +584,15 @@ def composite_tiles_xla(
     chunk: int = 128,
     tile_ids: jnp.ndarray | None = None,
     n_accum: int = ACCUM_DIM,
+    presort: bool = False,
 ):
     """Pure-XLA twin of the Pallas forward (any backend, differentiable).
 
     Identical math on full-K blocks, `lax.map` over tiles to bound memory.
     Used as the CPU/GPU fallback and as the test oracle for the kernels.
+    ``presort`` accepts unordered per-tile lists (sorts columns by the depth
+    row, stop-gradient permutation — autodiff routes grads through the
+    gather).
     """
     T, F, K = tile_feats.shape
     P = tile_h * tile_w
@@ -435,6 +600,11 @@ def composite_tiles_xla(
     def one_tile(args):
         cf, count, tile_idx = args  # (F, K), (), ()
         px, py = _pixel_coords(tile_idx, tiles_x, tile_h, tile_w)
+        if presort:
+            key = jnp.where(jnp.arange(K) < count,
+                            cf[5 + n_accum], jnp.float32(1e30))
+            perm = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
+            cf = cf[:, perm]
         slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
         smask = slot < count
         alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)

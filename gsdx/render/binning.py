@@ -392,6 +392,135 @@ def bin_gaussians_blocksearch(
     )
 
 
+def bin_gaussians_unsorted(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid: TileGrid,
+    max_per_tile: int,
+    max_dup: int = 32,
+    block: int = 128,
+    depth_buckets: int = 256,
+) -> TileBins:
+    """Original-order block-search binning — no global depth sort at all.
+
+    The CUDA reference bins by sorting (tile | depth) pair keys globally
+    (`diff-gaussian-rasterization`); every other binner here still pays one
+    global depth argsort + a full-array permutation so that per-tile slot
+    order equals depth order. This variant drops both: per-tile lists are
+    built over the ORIGINAL gaussian axis (same two-phase block-search as
+    `bin_gaussians_blocksearch`, minus the argsort/permute), and depth
+    ordering is restored afterwards by the consumer — either a tiny batched
+    (T, K) `lax.sort` over the gathered per-tile depths, or the compositor's
+    in-kernel depth-rank sort (`binning="nosort"`). Global sorts on this
+    backend are latency-bound; everything here is compare-sums and matmuls.
+
+    `gauss_idx[t, j]` is the j-th gaussian covering tile t in ORIGINAL index
+    order (not depth order); `counts` matches the other binners exactly.
+    After the consumer's per-tile (depth, index) sort the lists are
+    bit-identical to `bin_gaussians` whenever no tile overflows K. Overflow
+    tiles keep approximately the K NEAREST covers: a per-tile depth threshold
+    from a (T, depth_buckets) coverage histogram (one bf16 MXU matmul)
+    filters covers to the buckets that cumulatively hold K, so only the
+    boundary bucket's membership is resolved by index order instead of exact
+    depth — vs the sort binners' exact nearest-K. (The reference keeps ALL
+    covers; K truncation itself is this framework's deviation.)
+    """
+    n = mean2d.shape[0]
+    T = grid.num_tiles
+    tx = grid.tiles_x
+    K = max_per_tile
+    B = block
+    npad = -(-n // B) * B
+    NB = npad // B
+
+    x0, y0, x1, y1 = _bbox_tiles(mean2d, radius, grid)
+    bw = jnp.maximum(x1 - x0, 0)
+    n_touched = jnp.minimum(bw * jnp.maximum(y1 - y0, 0), max_dup)
+
+    txi = jnp.asarray(np.arange(T, dtype=np.int32) % tx)[:, None]
+    tyi = jnp.asarray(np.arange(T, dtype=np.int32) // tx)[:, None]
+    inb = (
+        (txi >= x0[None]) & (txi < x1[None])
+        & (tyi >= y0[None]) & (tyi < y1[None])
+    )
+    lin = (tyi - y0[None]) * bw[None] + (txi - x0[None])
+    cover_b = inb & (lin < max_dup) & mask[None]
+
+    if depth_buckets:
+        # Overflow guard: per-tile approximate nearest-K depth threshold.
+        D = depth_buckets
+        dmin = jnp.min(jnp.where(mask, depth, jnp.inf))
+        dmax = jnp.max(jnp.where(mask, depth, -jnp.inf))
+        scale = jnp.maximum(dmax - dmin, 1e-20)
+        bucket = jnp.clip(
+            ((depth - dmin) / scale * D).astype(jnp.int32), 0, D - 1
+        )
+        oneh = (bucket[:, None]
+                == jnp.arange(D, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        hist = jnp.einsum(
+            "tn,nd->td", cover_b.astype(jnp.bfloat16), oneh,
+            preferred_element_type=jnp.float32,
+        )  # (T, D) exact integer counts
+        cum = jnp.cumsum(hist, axis=1)
+        # smallest bucket whose cumulative count reaches K (D if never)
+        thr = jnp.sum((cum < K).astype(jnp.int32), axis=1)  # (T,)
+        cover_b = cover_b & (bucket[None, :] <= thr[:, None])
+
+    cover = cover_b.astype(jnp.bfloat16)
+    cover = jnp.pad(cover, ((0, 0), (0, npad - n)))
+    cov3 = cover.reshape(T, NB, B)
+
+    # Within-block inclusive prefix via one (B, B) triangular bf16 matmul
+    # (exact: counts <= B = 128 <= 256); u8 rows keep the phase-2 gather in
+    # the contiguous->=64B row regime.
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    tri = (row <= col).astype(jnp.bfloat16)
+    inc3 = jnp.einsum(
+        "tbi,ij->tbj", cov3, tri, preferred_element_type=jnp.bfloat16
+    )  # (T, NB, B)
+    cnt = inc3[:, :, -1].astype(jnp.float32)  # (T, NB)
+    cnt_cum = jnp.cumsum(cnt, axis=1)
+    counts = jnp.minimum(cnt_cum[:, -1], K).astype(jnp.int32)
+    inc8 = inc3.astype(jnp.uint8)
+
+    # Phase 1 (block search, gather-free): for target slot j the containing
+    # block and the covered count before it via one (T, NB, K) compare-sum.
+    tgt = jnp.arange(1, K + 1, dtype=jnp.float32)
+    lt = cnt_cum[:, :, None] < tgt[None, None, :]  # (T, NB, K)
+    blk = lt.astype(jnp.float32).sum(axis=1).astype(jnp.int32)  # (T, K)
+    cnt_before = (cnt[:, :, None] * lt).sum(axis=1)  # (T, K)
+    blk_c = jnp.minimum(blk, NB - 1)
+    # Phase 2: gather each target's block row and count within the block.
+    rows = jnp.take_along_axis(inc8, blk_c[:, :, None], axis=1)  # (T, K, B)
+    jloc = jnp.clip(tgt[None, :] - cnt_before, 0.0, 255.0).astype(jnp.uint8)
+    posb = (rows < jloc[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    pos = jnp.clip(blk_c * B + posb, 0, n - 1).astype(jnp.int32)
+
+    return TileBins(gauss_idx=pos, counts=counts)
+
+
+def sort_bins_by_depth(bins: TileBins, depth: jnp.ndarray) -> TileBins:
+    """Restore per-tile front-to-back order for `bin_gaussians_unsorted` bins.
+
+    One flat (T*K,) depth gather plus one batched stable `lax.sort` of
+    (depth, index) pairs along the K axis — small batched sorts are cheap on
+    TPU (unlike the latency-bound global N-element sorts this path avoids).
+    Slots >= counts get +inf keys so they stay at the tail; stability breaks
+    depth ties by original index, matching `bin_gaussians`'s stable argsort.
+    """
+    T, K = bins.gauss_idx.shape
+    dkey = depth[bins.gauss_idx]  # (T, K)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    dkey = jnp.where(slot < bins.counts[:, None], dkey, jnp.inf)
+    _, idx_sorted = jax.lax.sort(
+        (dkey, bins.gauss_idx), dimension=1, num_keys=1, is_stable=True
+    )
+    return TileBins(gauss_idx=idx_sorted, counts=bins.counts)
+
+
 def bin_gaussians_mask(
     mean2d: jnp.ndarray,
     radius: jnp.ndarray,

@@ -39,6 +39,8 @@ from gsdx.render.binning import (
     bin_gaussians,
     bin_gaussians_blocksearch,
     bin_gaussians_mask,
+    bin_gaussians_unsorted,
+    sort_bins_by_depth,
 )
 from gsdx.render.projection import project_gaussians
 
@@ -77,7 +79,8 @@ class RasterizeConfig(NamedTuple):
     # below ~BINNING_AUTO_N where its O(tiles*N) work beats the latency-bound
     # pair sort) else "sort". "blocksearch" is the two-phase block-search
     # variant (opt-in). All produce bit-identical bins.
-    binning: str = "auto"  # "auto" | "sort" | "mask" | "blocksearch"
+    # "nosort": original-order binning + in-kernel per-tile depth sort
+    binning: str = "auto"  # "auto"|"sort"|"mask"|"blocksearch"|"unsorted"|"nosort"
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":
@@ -112,7 +115,7 @@ def _composite_impl(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig,
                     n_accum: int):
     kwargs = dict(
         tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
-        chunk=cfg.chunk, n_accum=n_accum,
+        chunk=cfg.chunk, n_accum=n_accum, presort=cfg.binning == "nosort",
     )
     if cfg.use_pallas():
         return composite_tiles_pallas(
@@ -132,7 +135,7 @@ def _composite_bwd(grid, cfg, n_accum, res, g):
     g_accum, g_logt = g
     kwargs = dict(
         tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
-        chunk=cfg.chunk, n_accum=n_accum,
+        chunk=cfg.chunk, n_accum=n_accum, presort=cfg.binning == "nosort",
     )
     if cfg.use_pallas():
         grad_feats = composite_tiles_pallas_bwd(
@@ -277,13 +280,27 @@ def rasterize(
     )
     binning = cfg.binning
     if binning == "auto":
-        # Measured crossover (benchmarks/bench_blocksearch_ab.py, TPU v5e):
-        # mask compare-sum wins below ~8k; the pair-sort wins above. The
-        # XLA blocksearch variant ties sort at 16k but loses elsewhere
-        # (5k: 6.9 vs 6.0 mask; 65k: 16.2 vs 14.7 sort), so it is opt-in
-        # (binning="blocksearch") until the Pallas binning kernel lands.
-        binning = "mask" if n <= BINNING_AUTO_N else "sort"
-    if binning == "blocksearch":
+        # Measured crossovers (benchmarks/bench_unsorted_ab.py, TPU v5e,
+        # fwd+bwd 720p): mask compare-sum wins below ~8k (5k: 6.2 vs 7.8
+        # nosort); above it the sort-free nosort path (original-order
+        # binning + in-kernel depth-rank sort) beats the pair sort by
+        # 13-25% (16k: 9.1 vs 10.4; 65k: 12.3 vs 15.7; 65k-cap/15k-live
+        # 6ch: 12.4 vs 15.3). Trade-off above: K-overflow tiles truncate to
+        # approximately (bucket-resolution) nearest-K instead of exactly
+        # nearest-K — see `bin_gaussians_unsorted`.
+        binning = "mask" if n <= BINNING_AUTO_N else "nosort"
+    cfg = cfg._replace(binning=binning)  # pin resolved mode (jit cache key)
+    if binning in ("unsorted", "nosort"):
+        # No global depth argsort anywhere: bin over the original gaussian
+        # axis. "unsorted" restores front-to-back order with a batched
+        # (T, K) stable sort here; "nosort" leaves the lists unordered and
+        # the compositor sorts columns in VMEM (`_presort_onehot`).
+        bins = bin_gaussians_unsorted(
+            *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+        )
+        if binning == "unsorted":
+            bins = sort_bins_by_depth(bins, bin_args[2])
+    elif binning == "blocksearch":
         use_invmap = n <= BWD_INVMAP_MAX_N
         bins = bin_gaussians_blocksearch(
             *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,

@@ -133,6 +133,103 @@ def test_blocksearch_binning_grads_match_sort(rng, monkeypatch):
                                        np.asarray(a) / scale, atol=1e-5)
 
 
+@pytest.mark.parametrize("K,dup,block", [(64, 8, 16), (128, 16, 32), (512, 4, 128)])
+def test_unsorted_binning_matches_sort(rng, K, dup, block):
+    """Original-order binning + per-tile depth sort equals the sort reference
+    on every non-overflow tile (overflow keeps K lowest-index covers instead
+    of K nearest — documented deviation)."""
+    from gsdx.render.binning import bin_gaussians_unsorted, sort_bins_by_depth
+
+    grid = TileGrid(height=180, width=320, tile_h=16, tile_w=128)
+    screen = _random_screen(rng, 300, grid)
+    a = bin_gaussians(*screen, grid, K, dup)
+    b = bin_gaussians_unsorted(*screen, grid, K, dup, block=block)
+    b = sort_bins_by_depth(b, screen[2])
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    ca = np.asarray(a.counts)
+    ga, gb = np.asarray(a.gauss_idx), np.asarray(b.gauss_idx)
+    full = 0
+    for t in range(grid.num_tiles):
+        if ca[t] >= K:
+            full += 1
+            continue
+        np.testing.assert_array_equal(ga[t, :ca[t]], gb[t, :ca[t]])
+    assert full <= grid.num_tiles // 2  # comparison must cover most tiles
+
+
+def test_unsorted_binning_overflow_keeps_near_covers(rng):
+    """When a tile overflows K, the depth-bucket threshold keeps (almost)
+    the K nearest covers: everything strictly below the boundary bucket of
+    the sort binner's exact nearest-K must be kept."""
+    from gsdx.render.binning import bin_gaussians_unsorted, sort_bins_by_depth
+
+    grid = TileGrid(height=32, width=128, tile_h=16, tile_w=128)  # 2 tiles
+    n, K, dup = 300, 64, 4
+    mean2d = jnp.asarray(
+        rng.uniform(0, 128, size=(n, 2)).astype(np.float32))
+    mean2d = mean2d.at[:, 1].set(mean2d[:, 1] * 32 / 128)
+    radius = jnp.full((n,), 2.0, jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.5, 5, size=(n,)).astype(np.float32))
+    mask = jnp.ones((n,), bool)
+    screen = (mean2d, radius, depth, mask)
+
+    a = bin_gaussians(*screen, grid, K, dup)
+    b = sort_bins_by_depth(
+        bin_gaussians_unsorted(*screen, grid, K, dup), depth)
+    ca, cb = np.asarray(a.counts), np.asarray(b.counts)
+    np.testing.assert_array_equal(ca, cb)
+    assert (ca == K).any(), "test scene must overflow"
+    d = np.asarray(depth)
+    for t in range(grid.num_tiles):
+        exact = set(np.asarray(a.gauss_idx)[t, :ca[t]].tolist())
+        approx = set(np.asarray(b.gauss_idx)[t, :cb[t]].tolist())
+        if ca[t] < K:
+            assert exact == approx
+            continue
+        # every selected cover lies within one bucket width of the exact
+        # K-th-nearest depth (the filter admits nothing beyond the boundary
+        # bucket), and the overlap with exact nearest-K is near-total (only
+        # cum[thr]-K < boundary-bucket-population index-order drops).
+        kth = max(d[i] for i in exact)
+        width = (d.max() - d.min()) / 256
+        assert all(d[i] <= kth + width for i in approx)
+        assert len(exact & approx) >= K - 8
+
+
+def test_unsorted_binning_grads_match_sort(rng):
+    """rasterize(binning="unsorted") matches the sort reference in outputs
+    and gradients (no-overflow regime)."""
+    n = 80
+    H, W = 96, 128
+    means = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    means[:, 2] = means[:, 2] * 0.3 + 2.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(0.01, 0.05, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, size=(n, 1)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    k = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]], np.float32)
+    cam = make_camera(k, np.eye(4, dtype=np.float32), width=W, height=H)
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    def loss(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
+
+    cfg_s = RasterizeConfig(binning="sort", backend="xla")
+    cfg_u = RasterizeConfig(binning="unsorted", backend="xla")
+    out_s = rasterize(*args, cam, cfg_s)
+    out_u = rasterize(*args, cam, cfg_u)
+    np.testing.assert_allclose(np.asarray(out_s.im), np.asarray(out_u.im),
+                               atol=1e-6)
+    g_s = jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_u = jax.grad(lambda *a: loss(cfg_u, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_s, g_u):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-5)
+
+
 def test_mask_binning_grads_match_sort(rng):
     """Full rasterize gradients agree between the scatter-add backward
     (sort binning) and the inverse-map gather-sum backward (mask binning)."""

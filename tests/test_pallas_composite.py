@@ -81,6 +81,41 @@ def test_pallas_bwd_matches_reference_grads(rng):
                                    err_msg=f"pallas grad mismatch: {name}")
 
 
+def test_nosort_inkernel_presort_matches_sorted(rng):
+    """binning="nosort" (unordered lists + in-kernel depth-rank one-hot
+    sort) matches the sort-binning reference exactly — outputs and grads,
+    through both the Pallas interpreter and the XLA twin."""
+    means, quats, scales, opac, colors = make_scene(rng, n=60)
+    cam = make_cam()
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    def loss(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return (jnp.abs(out.im - target).mean()
+                + 0.1 * jnp.abs(out.depth).mean()
+                + 0.05 * out.final_t.mean())
+
+    ref_cfg = XLA._replace(binning="sort")
+    out_ref = rasterize(*args, cam, ref_cfg)
+    g_ref = jax.grad(lambda *a: loss(ref_cfg, *a),
+                     argnums=tuple(range(5)))(*args)
+
+    for cfg in (XLA._replace(binning="nosort"),
+                PALLAS._replace(binning="nosort"),
+                PALLAS._replace(binning="nosort", sub_chunk=64)):
+        out = rasterize(*args, cam, cfg)
+        np.testing.assert_allclose(np.asarray(out.im), np.asarray(out_ref.im),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.depth),
+                                   np.asarray(out_ref.depth), atol=1e-4)
+        g = jax.grad(lambda *a: loss(cfg, *a), argnums=tuple(range(5)))(*args)
+        for gp, gr in zip(g, g_ref):
+            scale = np.abs(np.asarray(gr)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(gp) / scale,
+                                       np.asarray(gr) / scale, atol=1e-3)
+
+
 def test_pallas_subchunk_matches_xla(rng):
     """Sub-128 compute granules (aligned loads + switch slices) stay exact."""
     means, quats, scales, opac, colors = make_scene(rng, n=60)

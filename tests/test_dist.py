@@ -114,6 +114,63 @@ def test_camera_sharded_tracking_grads_match(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_camera_sharded_tracking_t1_grads_match(rng):
+    """The t>0 loss branch (rigid/rot/iso/floor/bg tail) under shard_map
+    matches the per-camera mean of single-device losses and grads."""
+    mesh = get_mesh([("data", 4)], devices=jax.devices()[:4])
+    pt_cld = make_gt_scene(rng, n=40)
+    cams3 = make_cams()
+    cams = jax.tree.map(
+        lambda x: jnp.concatenate([x, x[:1]]) if hasattr(x, "ndim") else x,
+        cams3,
+    )
+    ims3, segs3 = render_targets(pt_cld, cams3)
+    ims = jnp.concatenate([ims3, ims3[:1]])
+    segs = jnp.concatenate([segs3, segs3[:1]])
+
+    from gsdx.core.gaussians import init_gaussian_params, init_tracking_variables
+    from gsdx.kernels.knn import knn
+    from gsdx.track.losses import tracking_loss
+    from gsdx.track.optimizer import GroupAdam
+    from gsdx.track.trainer import (
+        initialize_per_timestep,
+        initialize_post_first_timestep,
+    )
+
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=64)
+    variables = init_tracking_variables(64, num_knn=4, scene_radius=1.0)
+    variables = initialize_post_first_timestep(params, variables, num_knn=4)
+    params, variables, _ = initialize_per_timestep(
+        params, variables, GroupAdam().init(params))
+    weights = LossWeights()
+
+    step = make_sharded_tracking_step(
+        CFG_RASTER, mesh, weights, is_initial=False)
+    m2d = jnp.zeros((64, 2))
+    loss_sharded, (g_params, g_m2d) = step(
+        params, m2d, cams, ims, segs, variables)
+    assert bool(jnp.isfinite(loss_sharded))
+
+    losses, grads = [], []
+    for ci in range(4):
+        cam = jax.tree.map(
+            lambda x: x[ci] if hasattr(x, "ndim") and x.ndim > 0 else x, cams)
+
+        def lf(p, m):
+            l, _ = tracking_loss(p, m, cam, ims[ci], segs[ci], variables,
+                                 weights, False, CFG_RASTER)
+            return l
+
+        (l), g = jax.value_and_grad(lf, argnums=(0, 1))(params, m2d)
+        losses.append(float(l))
+        grads.append(g)
+    np.testing.assert_allclose(float(loss_sharded), np.mean(losses), rtol=1e-5)
+    mean_g = jax.tree.map(lambda *x: sum(x) / 4.0, *[g[0] for g in grads])
+    for a, b in zip(jax.tree.leaves(g_params), jax.tree.leaves(mean_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_mppi_sample_sharding_matches_single(rng):
     """Sample-sharded MPPI produces identical results to single-device."""
     import jax.numpy as jnp

@@ -1,0 +1,79 @@
+"""Multi-PROCESS distributed validation (VERDICT r1 missing #5).
+
+Launches 2 real OS processes through `jax.distributed.initialize` (gloo CPU
+collectives), runs one data-parallel GNN train step over the 4-device global
+mesh, and asserts the resulting parameters match a single-process step on the
+same global batch bit-for-tolerance. This executes `initialize_distributed`
+(`gsdx/dist/mesh.py`) with num_processes=2 — the cross-process half of the
+multi-host story that the single-process 8-device tests cannot cover.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from gsdx.dynamics.model import DynamicsPredictor
+from gsdx.dynamics.train import init_params, make_train_step
+from gsdx.graph.dataset import GraphSampler
+
+from test_dynamics import DATA_CFG, MODEL_CFG, TRAIN_CFG, synth_episodes
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_step_matches_single(rng, tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "p0.npz")
+    worker = os.path.join(REPO, "tests", "dist_worker.py")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = (
+        REPO + ":" + os.path.join(REPO, "tests")
+        + ":" + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode())
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+
+    saved = np.load(out)
+
+    # Single-process reference on the identical global batch.
+    store = synth_episodes(np.random.default_rng(0))
+    sampler = GraphSampler(store, DATA_CFG, phase="train")
+    model = DynamicsPredictor(MODEL_CFG)
+    params = init_params(model, TRAIN_CFG, DATA_CFG, jax.random.PRNGKey(0))
+    batch = sampler.sample(jax.random.PRNGKey(2), 8)
+    step, _, tx = make_train_step(model, TRAIN_CFG)
+    p1, _, loss1, _ = step(params, tx.init(params), batch)
+
+    np.testing.assert_allclose(float(saved["loss"]), float(loss1), rtol=1e-5)
+    leaves = jax.tree.leaves(p1)
+    assert len(leaves) == sum(1 for k in saved.files if k.startswith("p"))
+    # atol accommodates cross-process (gloo) reduction-order float noise
+    # amplified by Adam's rescaling; grads themselves agree to ~1e-7.
+    for i, a in enumerate(leaves):
+        np.testing.assert_allclose(saved[f"p{i}"], np.asarray(a), atol=1e-4)

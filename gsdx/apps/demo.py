@@ -113,6 +113,8 @@ class DemoSession:
         if train_gs:
             print("fitting Gaussian scene ...")
             self.gs.train(progress=True)
+        elif self.gs.params is None:
+            self.gs.init_params()  # show the scene without fitting
         live = np.asarray(self.gs.params.live) > 0
         self.particle_pos = np.asarray(self.gs.params.means3d)[live]
         self.mean_z = float(self.particle_pos[:, 2].mean())

@@ -66,6 +66,7 @@ class PerceptionModule:
         t_list: List[np.ndarray],
         prompt: str = "object",
         obj_names: Optional[List[str]] = None,
+        return_imgs: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fused object point cloud (`get_tabletop_points`,
         `perception_module.py:128-236`): per-view mask -> unproject ->
@@ -78,7 +79,7 @@ class PerceptionModule:
         (`perception_module.py:183-199`); otherwise the provider's single
         object mask is used directly.
         """
-        pts_all, col_all = [], []
+        pts_all, col_all, mask_all = [], [], []
         use_table_flow = obj_names and hasattr(self.segmenter,
                                                "table_object_masks")
         for c in range(len(colors)):
@@ -87,6 +88,7 @@ class PerceptionModule:
                     colors[c], obj_names)
             else:
                 mask = self.segmenter.segment(colors[c], prompt)
+            mask_all.append(np.asarray(mask, bool))
             depth = depths[c].astype(np.float32)
             if depths[c].dtype == np.uint16:
                 depth = depth / 1000.0
@@ -110,6 +112,8 @@ class PerceptionModule:
         pts = np.concatenate(pts_all, axis=0)
         cols = np.concatenate(col_all, axis=0)
         if len(pts) == 0:
+            if return_imgs:
+                return pts, cols, list(colors), mask_all
             return pts, cols
 
         # fixed-capacity device pipeline
@@ -144,14 +148,18 @@ class PerceptionModule:
             final_cols = cols[idx]
         else:
             final_cols = np.zeros((0, 3), np.float32)
+        if return_imgs:
+            return final_pts, final_cols, list(colors), mask_all
         return final_pts, final_cols
 
-    def get_tabletop_points_env(self, env, prompt: str = "object"):
+    def get_tabletop_points_env(self, env, prompt: str = "object",
+                                return_imgs: bool = False):
         """Convenience: perceive straight from an Env (`perception_module.py`
-        `get_tabletop_points_env`)."""
+        `get_tabletop_points_env`). With ``return_imgs`` also returns the
+        per-view color images (u8) and boolean object masks."""
         obs = env.get_obs(get_color=True, get_depth=True)
         R_list, t_list = env.get_extrinsics()
         return self.get_tabletop_points(
             obs["color"], obs["depth"], env.get_intrinsics(), R_list, t_list,
-            prompt=prompt,
+            prompt=prompt, return_imgs=return_imgs,
         )

@@ -114,14 +114,21 @@ class OnlineGSTrainer:
         self.update_state(points, colors, img_list, seg_list, R_list, t_list,
                           intr_list)
 
+    def init_params(self):
+        """Unoptimized Gaussians straight from the fused point cloud —
+        lets callers show/export a scene without fitting (e.g. loading
+        saved assets with train_gs=False)."""
+        sq_dist, _ = knn(jnp.asarray(self.init_pt_cld[:, :3]), 3)
+        self.params = init_gaussian_params(
+            self.init_pt_cld, np.asarray(sq_dist).mean(-1)
+        )
+        return self.params
+
     def train(self, progress: bool = False):
         """10k-iteration fit with densification (`GSTrainer.train`,
         `gs/trainer.py:98-123`)."""
         cfg = self.cfg
-        sq_dist, _ = knn(jnp.asarray(self.init_pt_cld[:, :3]), 3)
-        params = init_gaussian_params(
-            self.init_pt_cld, np.asarray(sq_dist).mean(-1)
-        )
+        params = self.init_params()
         w2c_stack = np.stack(self.metadata["w2c"])
         cam_centers = np.linalg.inv(w2c_stack)[:, :3, 3]
         scene_radius = float(1.1 * np.max(np.linalg.norm(

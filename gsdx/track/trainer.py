@@ -274,21 +274,24 @@ def track_sequence(
     start_t = 0
     if resume and state_path and os.path.exists(state_path):
         # Resume requires post-t0 shapes (compacted capacity); only supported
-        # from t >= 1, which is when the expensive tail begins.
-        template = {
-            "t": jnp.asarray(0), "params": params, "opt_state": opt_state,
-            "variables": variables, "key": key,
-        }
-        try:
-            state, output_params = load_tracking_state(state_path, template)
-        except Exception:
-            # shapes changed post-compaction: rebuild the template lazily
-            import pickle
+        # from t >= 1, which is when the expensive tail begins. The saved
+        # capacity is derived from the outputs snapshot (t=0 is always a full
+        # snapshot of the compacted params), so the restore template is picked
+        # deterministically — any exception out of the actual load means a
+        # corrupt checkpoint and propagates instead of resuming silently from
+        # rebuilt state.
+        import pickle
 
-            with open(state_path + ".outputs", "rb") as f:
-                output_params = pickle.load(f)
-            n0 = output_params[0]["means3D"].shape[0]
-            cap = int(-(-n0 // 128) * 128)
+        with open(state_path + ".outputs", "rb") as f:
+            output_params = pickle.load(f)
+        n0 = output_params[0]["means3D"].shape[0]
+        cap = int(-(-n0 // 128) * 128)
+        if cap == params.capacity:
+            template = {
+                "t": jnp.asarray(0), "params": params, "opt_state": opt_state,
+                "variables": variables, "key": key,
+            }
+        else:
             tmpl_params, tmpl_vars = _template_after_compact(
                 cap, cfg.num_knn, scene_radius
             )
@@ -297,7 +300,9 @@ def track_sequence(
                 "opt_state": adam.init(tmpl_params),
                 "variables": tmpl_vars, "key": key,
             }
-            state, output_params = load_tracking_state(state_path, template)
+        from gsdx.io.checkpoint import load_checkpoint
+
+        state = load_checkpoint(state_path, template)
         params = state["params"]
         opt_state = state["opt_state"]
         variables = state["variables"]

@@ -402,6 +402,7 @@ def bin_gaussians_unsorted(
     max_dup: int = 32,
     block: int = 128,
     depth_buckets: int = 256,
+    with_inverse: bool = False,
 ) -> TileBins:
     """Original-order block-search binning — no global depth sort at all.
 
@@ -499,7 +500,73 @@ def bin_gaussians_unsorted(
     posb = (rows < jloc[:, :, None]).sum(axis=2, dtype=jnp.int32)
     pos = jnp.clip(blk_c * B + posb, 0, n - 1).astype(jnp.int32)
 
-    return TileBins(gauss_idx=pos, counts=counts)
+    if not with_inverse:
+        return TileBins(gauss_idx=pos, counts=counts)
+
+    # Inverse map in ORIGINAL gaussian order (no permute anywhere): duplicate
+    # d of gaussian i covers tile_d with slot = filtered-cover count before
+    # it — block-exclusive counts via one small-source gather + block-local
+    # broadcast compares (the blocksearch recipe, minus sorted space).
+    slots = jnp.arange(max_dup, dtype=jnp.int32)
+    inv_bw = 1.0 / jnp.maximum(bw, 1).astype(jnp.float32)[:, None]
+    di = jnp.floor(slots[None, :].astype(jnp.float32) * inv_bw).astype(jnp.int32)
+    dj = slots[None, :] - di * bw[:, None]
+    ty_d = y0[:, None] + di  # (N, max_dup)
+    tx_d = x0[:, None] + dj
+    tile_d = ty_d * tx + tx_d
+    valid = mask[:, None] & (slots[None, :] < n_touched[:, None])
+    tile_d = jnp.where(valid, tile_d, 0)
+    ty_d = jnp.where(valid, ty_d, 0)
+    tx_d = jnp.where(valid, tx_d, 0)
+
+    gi = jnp.arange(n, dtype=jnp.int32)
+    blk_i = gi // B
+    cnt_ex = cnt_cum - cnt  # (T, NB) filtered counts before each block
+    # ONE contiguous row gather (flat scalar gathers cost ~1.4 ms per op on
+    # this backend; >=64B rows are ~30x cheaper per element), then in-register
+    # one-hot selection of the block column (and the packed thr column).
+    if depth_buckets:
+        table = jnp.concatenate(
+            [cnt_ex, thr[:, None].astype(jnp.float32)], axis=1)  # (T, NB+1)
+    else:
+        table = cnt_ex
+    rows_t = table[tile_d]  # (N, max_dup, NB[+1])
+    sel = (jnp.arange(table.shape[1], dtype=jnp.int32)[None, None, :]
+           == blk_i[:, None, None]).astype(jnp.float32)
+    s_before = (rows_t * sel).sum(-1)  # (N, max_dup)
+    if depth_buckets:
+        thr_d = rows_t[..., NB].astype(jnp.int32)  # (N, max_dup)
+        valid = valid & (bucket[:, None] <= thr_d)
+
+    def blocked(v):
+        v3 = jnp.pad(v, (0, npad - n)).reshape(NB, B)
+        return jnp.broadcast_to(v3[:, None, :], (NB, B, B)).reshape(npad, B)[:n]
+
+    xb0 = blocked(x0.astype(jnp.float32))
+    yb0 = blocked(y0.astype(jnp.float32))
+    xb1 = blocked(x1.astype(jnp.float32))
+    yb1 = blocked(y1.astype(jnp.float32))
+    bwb = blocked(bw.astype(jnp.float32))
+    mb = blocked(mask.astype(jnp.float32))
+    txf = tx_d.astype(jnp.float32)[:, :, None]  # (N, max_dup, 1)
+    tyf = ty_d.astype(jnp.float32)[:, :, None]
+    inbj = (
+        (txf >= xb0[:, None]) & (txf < xb1[:, None])
+        & (tyf >= yb0[:, None]) & (tyf < yb1[:, None])
+    )
+    linj = (tyf - yb0[:, None]) * bwb[:, None] + (txf - xb0[:, None])
+    jle = (jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
+           <= (gi % B)[:, None])  # j <= i_local
+    covj = inbj & (linj < max_dup) & (mb[:, None] > 0.5) & jle[:, None]
+    if depth_buckets:
+        bbk = blocked(bucket.astype(jnp.float32))  # (N, B) block-row buckets
+        covj = covj & (bbk[:, None] <= thr_d.astype(jnp.float32)[:, :, None])
+    wcount = covj.sum(axis=2, dtype=jnp.int32)  # (N, max_dup)
+    slot_d = s_before.astype(jnp.int32) + wcount - 1
+    slot_d = jnp.where(valid & (slot_d < K), slot_d, -1)
+
+    return TileBins(gauss_idx=pos, counts=counts,
+                    inv_tile=tile_d, inv_slot=slot_d)
 
 
 def sort_bins_by_depth(bins: TileBins, depth: jnp.ndarray) -> TileBins:

@@ -35,6 +35,7 @@ from gsdx.kernels.composite import (
     composite_tiles_xla,
 )
 from gsdx.render.binning import (
+    TileBins,
     TileGrid,
     bin_gaussians,
     bin_gaussians_blocksearch,
@@ -250,6 +251,7 @@ def rasterize(
     live: jnp.ndarray | None = None,
     mean2d_offset: jnp.ndarray | None = None,
     bg: jnp.ndarray | None = None,
+    bins: TileBins | None = None,
 ) -> RenderOutput:
     """Render N Gaussians through one camera. Differentiable in all float args.
 
@@ -290,16 +292,21 @@ def rasterize(
         # nearest-K — see `bin_gaussians_unsorted`.
         binning = "mask" if n <= BINNING_AUTO_N else "nosort"
     cfg = cfg._replace(binning=binning)  # pin resolved mode (jit cache key)
-    if binning in ("unsorted", "nosort"):
+    if bins is not None:
+        pass  # caller-supplied bins (reuse across passes / profiling)
+    elif binning in ("unsorted", "nosort"):
         # No global depth argsort anywhere: bin over the original gaussian
         # axis. "unsorted" restores front-to-back order with a batched
         # (T, K) stable sort here; "nosort" leaves the lists unordered and
         # the compositor sorts columns in VMEM (`_presort_onehot`).
         bins = bin_gaussians_unsorted(
             *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+            with_inverse=n <= BWD_INVMAP_MAX_N,
         )
         if binning == "unsorted":
-            bins = sort_bins_by_depth(bins, bin_args[2])
+            bins = sort_bins_by_depth(
+                TileBins(gauss_idx=bins.gauss_idx, counts=bins.counts),
+                bin_args[2])
     elif binning == "blocksearch":
         use_invmap = n <= BWD_INVMAP_MAX_N
         bins = bin_gaussians_blocksearch(
@@ -327,13 +334,19 @@ def rasterize(
         ],
         axis=-1,
     )  # (N, FEAT_DIM)
-    if bins.inv_tile is not None:
+    if bins.inv_tile is not None and bins.order is not None:
         # Sorted-space composition: one permutation gather, then a row gather
         # by per-tile positions; gradients ride the inverse map + inverse
         # permutation (gathers only — no scatter on the backward path).
         feats_sorted = _permute_rows(feats, bins.order, bins.inv_order)
         tile_feats = _take_rows_invmap(
             feats_sorted, bins.pos, bins.inv_tile, bins.inv_slot
+        )  # (T, K, F)
+    elif bins.inv_tile is not None:
+        # Original-order inverse map (nosort binning): same gather-only
+        # backward, no permutation at all.
+        tile_feats = _take_rows_invmap(
+            feats, bins.gauss_idx, bins.inv_tile, bins.inv_slot
         )  # (T, K, F)
     else:
         # Original-order gather; backward is a T*K-row scatter-add (wins at

@@ -196,6 +196,41 @@ def test_unsorted_binning_overflow_keeps_near_covers(rng):
         assert len(exact & approx) >= K - 8
 
 
+@pytest.mark.parametrize("overflow", [False, True])
+def test_unsorted_inverse_map_is_exact_inverse(rng, overflow):
+    """(inv_tile, inv_slot) — ORIGINAL gaussian order — enumerates exactly
+    the (tile, slot) cells holding each gaussian in the unsorted forward
+    tables, including under the overflow depth-bucket filter."""
+    from gsdx.render.binning import bin_gaussians_unsorted
+
+    grid = TileGrid(height=32 if overflow else 180,
+                    width=128 if overflow else 320, tile_h=16, tile_w=128)
+    n, dup = 300, 8
+    K = 64 if overflow else 128
+    screen = _random_screen(rng, n, grid)
+    if overflow:  # concentrate everything in 2 tiles
+        mean2d = jnp.asarray(
+            rng.uniform(0, 128, size=(n, 2)).astype(np.float32))
+        mean2d = mean2d.at[:, 1].set(mean2d[:, 1] * 32 / 128)
+        screen = (mean2d, jnp.full((n,), 2.0, jnp.float32), screen[2],
+                  jnp.ones((n,), bool))
+    b = bin_gaussians_unsorted(*screen, grid, K, dup, with_inverse=True)
+    counts = np.asarray(b.counts)
+    if overflow:
+        assert (counts == K).any()
+    gauss_idx = np.asarray(b.gauss_idx)
+    it, isl = np.asarray(b.inv_tile), np.asarray(b.inv_slot)
+    inv_pairs = {
+        (int(it[g, d]), int(isl[g, d]), g)
+        for g in range(n) for d in range(dup) if isl[g, d] >= 0
+    }
+    fwd_pairs = {
+        (t, s, int(gauss_idx[t, s]))
+        for t in range(grid.num_tiles) for s in range(counts[t])
+    }
+    assert inv_pairs == fwd_pairs
+
+
 def test_unsorted_binning_grads_match_sort(rng):
     """rasterize(binning="unsorted") matches the sort reference in outputs
     and gradients (no-overflow regime)."""

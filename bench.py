@@ -69,6 +69,55 @@ def bench_raster(n, iters=20):
     return H * W / dt / 1e6  # Mpix/s
 
 
+def bench_raster_scan(n, scan_len=5, iters=10):
+    """Scan-amortized variant: `scan_len` chained fwd+bwd steps inside ONE
+    executable — how the production tracking loop actually runs
+    (`gsdx/track/trainer.py` scan-compiles iterations), removing the
+    per-dispatch tunnel overhead (~1-1.7 ms/dispatch on this box) that the
+    per-dispatch headline includes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsdx.core.cameras import make_camera
+    from gsdx.render.rasterize import RasterizeConfig, rasterize
+
+    rng = np.random.default_rng(0)
+    k = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
+    cam = make_camera(k, np.eye(4, dtype=np.float32), width=W, height=H,
+                      bg=(0.7, 0.7, 0.7))
+    cfg = RasterizeConfig()
+    args = tuple(jnp.asarray(x) for x in _scene(rng, n))
+    target = jnp.zeros((3, H, W))
+
+    def loss(means3d, *rest):
+        out = rasterize(means3d, *rest, cam, cfg)
+        return jnp.abs(out.im - target).mean()
+
+    @jax.jit
+    def scan_steps(args):
+        def body(carry, _):
+            # loop-carried perturbation: keeps iterations data-dependent so
+            # XLA cannot hoist/CSE the identical step out of the scan
+            a0 = args[0] + carry * 1e-12
+            v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+                a0, *args[1:])
+            return v, g[0][0, 0]
+        carry, outs = jax.lax.scan(body, 0.0, None, length=scan_len)
+        return carry, outs
+
+    out = scan_steps(args)
+    jax.block_until_ready(out)
+    for _ in range(2):
+        out = scan_steps(args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = scan_steps(args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (iters * scan_len)
+    return H * W / dt / 1e6  # Mpix/s
+
+
 def bench_tracking(n_iters=30):
     """Rope-scale tracking steps/s: 8k capacity, 4 cameras, 720p, the
     production scan-compiled fit (t=0 and t>0 branches)."""
@@ -155,6 +204,10 @@ def main():
         tracking = bench_tracking()
     except Exception as e:
         tracking = {"error": type(e).__name__}
+    try:
+        scan_amortized = round(bench_raster_scan(5000), 2)
+    except Exception as e:
+        scan_amortized = f"error: {type(e).__name__}"
 
     mpix_s = sweep.get("5000")
     if not isinstance(mpix_s, float):
@@ -166,6 +219,7 @@ def main():
         "vs_baseline": round(mpix_s / CUDA_REFERENCE_MPIX_S, 4),
         "sweep_mpix_s": sweep,
         "tracking_iters_s": tracking,
+        "scan_amortized_mpix_s": scan_amortized,
     }))
 
 

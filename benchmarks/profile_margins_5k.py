@@ -115,7 +115,12 @@ def comp_loss(tf):
 c_fwd = jax.jit(comp_loss)
 c_bwd = jax.jit(jax.value_and_grad(comp_loss))
 
+# dispatch floor: a trivial graph in the same timing loop
+triv = jax.jit(lambda x: x * 2.0 + 1.0)
+tiny = jnp.ones((8, 128))
+
 for rep in (1, 2):
+    bench(triv, (tiny,), f"trivial dispatch floor r{rep}")
     bench(c_fwd, (TF,), f"compositor-only fwd r{rep}")
     bench(c_bwd, (TF,), f"compositor-only fwd+bwd r{rep}")
     t_full = bench(v_full, args, f"fwd+bwd full r{rep}")

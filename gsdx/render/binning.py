@@ -189,23 +189,42 @@ def _prefix_sum_rows(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
 
 
 def _positions_by_count(inc: jnp.ndarray, k: int,
-                        chunk: int = 512) -> jnp.ndarray:
+                        chunk: int = 512, tier: int = None) -> jnp.ndarray:
     """searchsorted-left of targets 1..k in every (monotone) row of inc.
 
     pos[t, j] = #{i : inc[t, i] < j+1} — computed as chunked broadcast
     compare-and-sum on the VPU with NO gathers at all (per-op gather cost on
-    this backend dwarfs the 1.1G compare-adds).
+    this backend dwarfs the 1.1G compare-adds). ``tier``: targets beyond it
+    run under a `lax.cond` that fires only when some tile holds more than
+    ``tier`` covers. Measured SLOWER on TPU v5e (within-session A/B at 5k
+    full fwd+bwd: +0.33-0.46 ms — the cond splits the fused compare-sum into
+    separate executables), so the default is the flat single-pass form; kept
+    for shapes where the 4x compare reduction could win.
     """
     t, n = inc.shape
-    tgt = jnp.arange(1, k + 1, dtype=jnp.float32)[None, None, :]
     nc = -(-n // chunk)
     inc_p = jnp.pad(inc, ((0, 0), (0, nc * chunk - n)),
                     constant_values=np.float32(2 ** 30))
-    acc = jnp.zeros((t, k), jnp.float32)
-    for c in range(nc):
-        blk = inc_p[:, c * chunk:(c + 1) * chunk, None]  # (T, chunk, 1)
-        acc = acc + jnp.sum((blk < tgt).astype(jnp.float32), axis=1)
-    return acc.astype(jnp.int32)
+
+    def csum(lo, hi):
+        tgt = jnp.arange(lo + 1, hi + 1, dtype=jnp.float32)[None, None, :]
+        acc = jnp.zeros((t, hi - lo), jnp.float32)
+        for c in range(nc):
+            blk = inc_p[:, c * chunk:(c + 1) * chunk, None]  # (T, chunk, 1)
+            acc = acc + jnp.sum((blk < tgt).astype(jnp.float32), axis=1)
+        return acc
+
+    if tier is None or k <= tier:
+        return csum(0, k).astype(jnp.int32)
+    head = csum(0, tier)
+    tail = jax.lax.cond(
+        inc[:, -1].max() > tier,
+        lambda: csum(tier, k),
+        # unused slots (count <= tier < j) point at the end of the axis,
+        # matching what csum returns for targets above every prefix value
+        lambda: jnp.full((t, k - tier), float(n), jnp.float32),
+    )
+    return jnp.concatenate([head, tail], axis=1).astype(jnp.int32)
 
 
 def _batched_searchsorted(rows: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -229,6 +248,49 @@ def _batched_searchsorted(rows: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarra
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_left, mid, hi)
     return lo
+
+
+def _within_block_counts(x0, y0, x1, y1, bw, mask_vec, tx_d, ty_d,
+                         max_dup: int, block: int,
+                         bucket=None, thr_d=None):
+    """#(covered j in i's block, j <= i) per duplicate — gather-free.
+
+    For each gaussian i and duplicate d (targeting tile (ty_d, tx_d)), count
+    the gaussians j in i's ``block`` whose bbox covers that tile, with
+    j <= i: block-local broadcast compares only (the (N, max_dup) flat
+    gathers this replaces cost ~0.4 ms per op on this backend). Optional
+    ``bucket``/``thr_d`` adds the depth-bucket overflow filter condition.
+    """
+    n = x0.shape[0]
+    B = block
+    npad = -(-n // B) * B
+    NB = npad // B
+
+    def blocked(v):
+        v3 = jnp.pad(v, (0, npad - n)).reshape(NB, B)
+        return jnp.broadcast_to(v3[:, None, :], (NB, B, B)).reshape(npad, B)[:n]
+
+    xb0 = blocked(x0.astype(jnp.float32))
+    yb0 = blocked(y0.astype(jnp.float32))
+    xb1 = blocked(x1.astype(jnp.float32))
+    yb1 = blocked(y1.astype(jnp.float32))
+    bwb = blocked(bw.astype(jnp.float32))
+    mb = blocked(mask_vec.astype(jnp.float32))
+    txf = tx_d.astype(jnp.float32)[:, :, None]  # (N, max_dup, 1)
+    tyf = ty_d.astype(jnp.float32)[:, :, None]
+    inbj = (
+        (txf >= xb0[:, None]) & (txf < xb1[:, None])
+        & (tyf >= yb0[:, None]) & (tyf < yb1[:, None])
+    )
+    linj = (tyf - yb0[:, None]) * bwb[:, None] + (txf - xb0[:, None])
+    gi = jnp.arange(n, dtype=jnp.int32)
+    jle = (jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
+           <= (gi % B)[:, None])  # j <= i_local
+    covj = inbj & (linj < max_dup) & (mb[:, None] > 0.5) & jle[:, None]
+    if bucket is not None:
+        bbk = blocked(bucket.astype(jnp.float32))
+        covj = covj & (bbk[:, None] <= thr_d.astype(jnp.float32)[:, :, None])
+    return covj.sum(axis=2, dtype=jnp.int32)  # (N, max_dup)
 
 
 def _bbox_tiles(mean2d_s, radius_s, grid: TileGrid):
@@ -537,31 +599,12 @@ def bin_gaussians_unsorted(
     if depth_buckets:
         thr_d = rows_t[..., NB].astype(jnp.int32)  # (N, max_dup)
         valid = valid & (bucket[:, None] <= thr_d)
-
-    def blocked(v):
-        v3 = jnp.pad(v, (0, npad - n)).reshape(NB, B)
-        return jnp.broadcast_to(v3[:, None, :], (NB, B, B)).reshape(npad, B)[:n]
-
-    xb0 = blocked(x0.astype(jnp.float32))
-    yb0 = blocked(y0.astype(jnp.float32))
-    xb1 = blocked(x1.astype(jnp.float32))
-    yb1 = blocked(y1.astype(jnp.float32))
-    bwb = blocked(bw.astype(jnp.float32))
-    mb = blocked(mask.astype(jnp.float32))
-    txf = tx_d.astype(jnp.float32)[:, :, None]  # (N, max_dup, 1)
-    tyf = ty_d.astype(jnp.float32)[:, :, None]
-    inbj = (
-        (txf >= xb0[:, None]) & (txf < xb1[:, None])
-        & (tyf >= yb0[:, None]) & (tyf < yb1[:, None])
-    )
-    linj = (tyf - yb0[:, None]) * bwb[:, None] + (txf - xb0[:, None])
-    jle = (jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
-           <= (gi % B)[:, None])  # j <= i_local
-    covj = inbj & (linj < max_dup) & (mb[:, None] > 0.5) & jle[:, None]
-    if depth_buckets:
-        bbk = blocked(bucket.astype(jnp.float32))  # (N, B) block-row buckets
-        covj = covj & (bbk[:, None] <= thr_d.astype(jnp.float32)[:, :, None])
-    wcount = covj.sum(axis=2, dtype=jnp.int32)  # (N, max_dup)
+        wcount = _within_block_counts(
+            x0, y0, x1, y1, bw, mask, tx_d, ty_d, max_dup, B,
+            bucket=bucket, thr_d=thr_d)
+    else:
+        wcount = _within_block_counts(
+            x0, y0, x1, y1, bw, mask, tx_d, ty_d, max_dup, B)
     slot_d = s_before.astype(jnp.int32) + wcount - 1
     slot_d = jnp.where(valid & (slot_d < K), slot_d, -1)
 
@@ -611,8 +654,13 @@ def bin_gaussians_mask(
       3. per-tile inclusive prefix sum over depth order (MXU triangular
          matmuls) gives each Gaussian's slot in each tile it touches;
       4. the j-th Gaussian of tile t sits at pos[t, j] = #{i : inc[t,i] <
-         j+1} — a pure compare-and-sum (`pos_method="csum"`, no gathers;
-         "search" keeps the log-N binary-search variant for comparison).
+         j+1} — a pure compare-and-sum (`pos_method="csum"`, no gathers).
+         "block" (two-phase block search over the prefix, O(T*NB*K) + one u8
+         row gather) measured SLOWER on TPU v5e at 5k (within-session A/B:
+         +0.8-1.4 ms) — dense regular compare-adds beat row gathers here;
+         "csum_tiered" (cond-gated second tier) also SLOWER (+0.33-0.46 ms,
+         the cond splits fusion); "search" keeps the log-N binary-search
+         variant. All retained for comparison/tests.
 
     `pos`/`inv_tile`/`inv_slot` are in DEPTH-SORTED gaussian space: consumers
     gather features as feats[order][pos] and route gather gradients through
@@ -653,7 +701,32 @@ def bin_gaussians_mask(
     inc = _prefix_sum_rows(cover.astype(jnp.float32))  # (T, N)
     counts = jnp.minimum(inc[:, -1].astype(jnp.int32), K)
 
-    if pos_method == "csum":
+    B = 128
+    npad = -(-n // B) * B
+    NB = npad // B
+    if pos_method == "csum_tiered":
+        pos = _positions_by_count(inc, K, tier=128)
+    elif pos_method == "block":
+        # Two-phase block search over the prefix already in hand: positions
+        # from O(T*NB*K) compares + one contiguous u8 row gather, instead of
+        # the O(T*N*K) compare-sum (1.2G ops at 5k) of "csum".
+        inc_p = jnp.pad(inc, ((0, 0), (0, npad - n)), mode="edge")
+        inc3 = inc_p.reshape(T, NB, B)
+        cnt_cum_b = inc3[:, :, -1]  # (T, NB) cumulative through block b
+        cnt_ex_b = jnp.concatenate(
+            [jnp.zeros((T, 1), inc.dtype), cnt_cum_b[:, :-1]], axis=1)
+        cnt_b = cnt_cum_b - cnt_ex_b
+        inc_within = (inc3 - cnt_ex_b[:, :, None]).astype(jnp.uint8)
+        tgt = jnp.arange(1, K + 1, dtype=jnp.float32)
+        lt = cnt_cum_b[:, :, None] < tgt[None, None, :]  # (T, NB, K)
+        blk_c = jnp.minimum(
+            lt.astype(jnp.float32).sum(axis=1).astype(jnp.int32), NB - 1)
+        cnt_before = (cnt_b[:, :, None] * lt).sum(axis=1)  # (T, K)
+        rows = jnp.take_along_axis(inc_within, blk_c[:, :, None], axis=1)
+        jloc = jnp.clip(tgt[None, :] - cnt_before, 0.0, 255.0).astype(jnp.uint8)
+        posb = (rows < jloc[:, :, None]).sum(axis=2, dtype=jnp.int32)
+        pos = blk_c * B + posb
+    elif pos_method == "csum":
         pos = _positions_by_count(inc, K)
     else:
         targets = jnp.arange(1, K + 1, dtype=jnp.float32)
@@ -666,17 +739,35 @@ def bin_gaussians_mask(
                         order=order)
 
     # Inverse map (sorted space): duplicate d of Gaussian g covers tile
-    # tile_d with within-tile slot inc[tile_d, g] - 1 (same row-major slot ->
-    # cell walk as the pair table; float division for traced-divisor div/mod).
+    # tile_d with within-tile slot = covers of tile_d before g. Computed as
+    # block-exclusive counts (ONE contiguous row gather from a (T, NB) table
+    # sliced out of inc — the (N, max_dup) flat gather from the (T*N) inc
+    # this replaces cost ~0.4-1 ms per op) + gather-free block-local
+    # compare-sums (`_within_block_counts`).
     slots = jnp.arange(max_dup, dtype=jnp.int32)
     inv_bw = 1.0 / jnp.maximum(bw, 1).astype(jnp.float32)[:, None]
     di = jnp.floor(slots[None, :].astype(jnp.float32) * inv_bw).astype(jnp.int32)
     dj = slots[None, :] - di * bw[:, None]
-    tile_d = (y0[:, None] + di) * tx + (x0[:, None] + dj)  # (N, max_dup)
+    ty_d = y0[:, None] + di  # (N, max_dup)
+    tx_d = x0[:, None] + dj
+    tile_d = ty_d * tx + tx_d
     valid = mask_s[:, None] & (slots[None, :] < n_touched[:, None])
     tile_d = jnp.where(valid, tile_d, 0)
-    g_col = jnp.arange(n, dtype=jnp.int32)[:, None]
-    slot_d = inc.reshape(-1)[tile_d * n + g_col].astype(jnp.int32) - 1
+    ty_d = jnp.where(valid, ty_d, 0)
+    tx_d = jnp.where(valid, tx_d, 0)
+
+    B = 128
+    NB = -(-n // B)
+    gi = jnp.arange(n, dtype=jnp.int32)
+    ends = inc[:, B - 1:(NB - 1) * B:B]  # (T, NB-1) block-end prefixes
+    cnt_ex = jnp.concatenate([jnp.zeros((T, 1), inc.dtype), ends], axis=1)
+    rows_t = cnt_ex[tile_d]  # (N, max_dup, NB) contiguous row gather
+    sel = (jnp.arange(NB, dtype=jnp.int32)[None, None, :]
+           == (gi // B)[:, None, None]).astype(jnp.float32)
+    s_before = (rows_t * sel).sum(-1)  # (N, max_dup)
+    wcount = _within_block_counts(
+        x0, y0, x1, y1, bw, mask_s, tx_d, ty_d, max_dup, B)
+    slot_d = s_before.astype(jnp.int32) + wcount - 1
     slot_d = jnp.where(valid & (slot_d < K), slot_d, -1)
 
     inv_order = jnp.argsort(order)

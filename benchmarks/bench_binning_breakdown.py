@@ -1,8 +1,9 @@
-"""Binning-internals breakdown at 5k (mask vs unsorted variants).
+"""Binning-internals breakdown (mask vs unsorted variants) at a given N.
 
 Each variant is one jitted graph; subtract the ~1.05 ms dispatch floor.
-Run: PYTHONPATH="/root/repo:$PYTHONPATH" python -u benchmarks/bench_binning_breakdown.py
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python -u benchmarks/bench_binning_breakdown.py [N]
 """
+import sys
 import time
 
 import numpy as np
@@ -31,7 +32,8 @@ cfg = RasterizeConfig()
 grid = TileGrid(height=H, width=W, tile_h=cfg.tile_h, tile_w=cfg.tile_w)
 
 rng = np.random.default_rng(0)
-n = 5000
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+print("n =", n, flush=True)
 means = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
 means[:, 2] = means[:, 2] * 0.5 + 3.0
 quats = rng.normal(size=(n, 4)).astype(np.float32)

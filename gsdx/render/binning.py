@@ -250,6 +250,38 @@ def _batched_searchsorted(rows: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarra
     return lo
 
 
+def _block_prefix_lookup(cnt_ex: jnp.ndarray, tile_d: jnp.ndarray,
+                         block: int, extra: jnp.ndarray | None = None):
+    """s_before[i, d] = cnt_ex[tile_d[i, d], i // block] — gather-free.
+
+    Every gaussian in block b reads column b of `cnt_ex` (T, NB), so the
+    lookup is one fused (NB, B, max_dup, T) one-hot compare-sum against the
+    transposed table — dense VPU compare-adds instead of the (N, max_dup,
+    NB) row gather it replaces (that gather moves NB*4 bytes per duplicate:
+    2.1 GB at 65k, measured +10-14 ms standalone). ``extra`` (T,) optional
+    values ride the same one-hot (the depth-bucket threshold), returned as
+    the second output.
+    """
+    n, max_dup = tile_d.shape
+    T, NB = cnt_ex.shape
+    B = block
+    npad = NB * B
+    tile_b = jnp.pad(tile_d, ((0, npad - n), (0, 0))).reshape(NB, B, max_dup)
+    tio = jnp.arange(T, dtype=tile_d.dtype)
+    # (NB, 1, 1, V, T) values; single stacked reduce so the one-hot compare
+    # is computed once inside one fusion (two separate reduces risk a
+    # materialized (NB, B, dup, T) intermediate via CSE).
+    vals = [jnp.transpose(cnt_ex).astype(jnp.float32)[:, None, None, :]]
+    if extra is not None:
+        vals.append(jnp.broadcast_to(
+            extra.astype(jnp.float32)[None, None, None, :], vals[0].shape))
+    V = jnp.stack(vals, axis=-2)  # (NB, 1, 1, v, T)
+    oh = (tile_b[..., None, None] == tio).astype(jnp.float32)  # (NB,B,dup,1,T)
+    out = (oh * V).sum(-1)  # (NB, B, dup, v)
+    out = out.reshape(npad, max_dup, len(vals))[:n]
+    return out[..., 0], (out[..., 1] if extra is not None else None)
+
+
 def _within_block_counts(x0, y0, x1, y1, bw, mask_vec, tx_d, ty_d,
                          max_dup: int, block: int,
                          bucket=None, thr_d=None):
@@ -567,8 +599,8 @@ def bin_gaussians_unsorted(
 
     # Inverse map in ORIGINAL gaussian order (no permute anywhere): duplicate
     # d of gaussian i covers tile_d with slot = filtered-cover count before
-    # it — block-exclusive counts via one small-source gather + block-local
-    # broadcast compares (the blocksearch recipe, minus sorted space).
+    # it — block-exclusive counts via a gather-free one-hot lookup
+    # (`_block_prefix_lookup`) + block-local broadcast compares.
     slots = jnp.arange(max_dup, dtype=jnp.int32)
     inv_bw = 1.0 / jnp.maximum(bw, 1).astype(jnp.float32)[:, None]
     di = jnp.floor(slots[None, :].astype(jnp.float32) * inv_bw).astype(jnp.int32)
@@ -581,28 +613,17 @@ def bin_gaussians_unsorted(
     ty_d = jnp.where(valid, ty_d, 0)
     tx_d = jnp.where(valid, tx_d, 0)
 
-    gi = jnp.arange(n, dtype=jnp.int32)
-    blk_i = gi // B
     cnt_ex = cnt_cum - cnt  # (T, NB) filtered counts before each block
-    # ONE contiguous row gather (flat scalar gathers cost ~1.4 ms per op on
-    # this backend; >=64B rows are ~30x cheaper per element), then in-register
-    # one-hot selection of the block column (and the packed thr column).
     if depth_buckets:
-        table = jnp.concatenate(
-            [cnt_ex, thr[:, None].astype(jnp.float32)], axis=1)  # (T, NB+1)
-    else:
-        table = cnt_ex
-    rows_t = table[tile_d]  # (N, max_dup, NB[+1])
-    sel = (jnp.arange(table.shape[1], dtype=jnp.int32)[None, None, :]
-           == blk_i[:, None, None]).astype(jnp.float32)
-    s_before = (rows_t * sel).sum(-1)  # (N, max_dup)
-    if depth_buckets:
-        thr_d = rows_t[..., NB].astype(jnp.int32)  # (N, max_dup)
+        s_before, thr_f = _block_prefix_lookup(
+            cnt_ex, tile_d, B, extra=thr.astype(jnp.float32))
+        thr_d = thr_f.astype(jnp.int32)  # (N, max_dup)
         valid = valid & (bucket[:, None] <= thr_d)
         wcount = _within_block_counts(
             x0, y0, x1, y1, bw, mask, tx_d, ty_d, max_dup, B,
             bucket=bucket, thr_d=thr_d)
     else:
+        s_before, _ = _block_prefix_lookup(cnt_ex, tile_d, B)
         wcount = _within_block_counts(
             x0, y0, x1, y1, bw, mask, tx_d, ty_d, max_dup, B)
     slot_d = s_before.astype(jnp.int32) + wcount - 1
@@ -739,11 +760,10 @@ def bin_gaussians_mask(
                         order=order)
 
     # Inverse map (sorted space): duplicate d of Gaussian g covers tile
-    # tile_d with within-tile slot = covers of tile_d before g. Computed as
-    # block-exclusive counts (ONE contiguous row gather from a (T, NB) table
-    # sliced out of inc — the (N, max_dup) flat gather from the (T*N) inc
-    # this replaces cost ~0.4-1 ms per op) + gather-free block-local
-    # compare-sums (`_within_block_counts`).
+    # tile_d with within-tile slot = covers of tile_d before g. Computed
+    # entirely gather-free: block-exclusive counts via a one-hot lookup
+    # against the (T, NB) table sliced out of inc (`_block_prefix_lookup`)
+    # + block-local compare-sums (`_within_block_counts`).
     slots = jnp.arange(max_dup, dtype=jnp.int32)
     inv_bw = 1.0 / jnp.maximum(bw, 1).astype(jnp.float32)[:, None]
     di = jnp.floor(slots[None, :].astype(jnp.float32) * inv_bw).astype(jnp.int32)
@@ -758,13 +778,9 @@ def bin_gaussians_mask(
 
     B = 128
     NB = -(-n // B)
-    gi = jnp.arange(n, dtype=jnp.int32)
     ends = inc[:, B - 1:(NB - 1) * B:B]  # (T, NB-1) block-end prefixes
     cnt_ex = jnp.concatenate([jnp.zeros((T, 1), inc.dtype), ends], axis=1)
-    rows_t = cnt_ex[tile_d]  # (N, max_dup, NB) contiguous row gather
-    sel = (jnp.arange(NB, dtype=jnp.int32)[None, None, :]
-           == (gi // B)[:, None, None]).astype(jnp.float32)
-    s_before = (rows_t * sel).sum(-1)  # (N, max_dup)
+    s_before, _ = _block_prefix_lookup(cnt_ex, tile_d, B)
     wcount = _within_block_counts(
         x0, y0, x1, y1, bw, mask_s, tx_d, ty_d, max_dup, B)
     slot_d = s_before.astype(jnp.int32) + wcount - 1

@@ -195,19 +195,26 @@ def main():
         pass
 
     sweep = {}
+    sweep_scan = {}
     for n in (5000, 16384, 65536):
         try:
             sweep[str(n)] = round(bench_raster(n), 2)
         except Exception as e:  # never lose the headline to a sweep failure
             sweep[str(n)] = f"error: {type(e).__name__}"
+        try:
+            sweep_scan[str(n)] = round(bench_raster_scan(n, iters=5), 2)
+        except Exception as e:
+            sweep_scan[str(n)] = f"error: {type(e).__name__}"
     try:
         tracking = bench_tracking()
     except Exception as e:
         tracking = {"error": type(e).__name__}
-    try:
-        scan_amortized = round(bench_raster_scan(5000), 2)
-    except Exception as e:
-        scan_amortized = f"error: {type(e).__name__}"
+    scan_amortized = sweep_scan.get("5000")
+    if not isinstance(scan_amortized, float):
+        try:
+            scan_amortized = round(bench_raster_scan(5000), 2)
+        except Exception as e:
+            scan_amortized = f"error: {type(e).__name__}"
 
     per_dispatch = sweep.get("5000")
     if not isinstance(per_dispatch, float):
@@ -228,6 +235,7 @@ def main():
                           else "per_dispatch"),
         "per_dispatch_mpix_s": per_dispatch,
         "sweep_mpix_s": sweep,
+        "sweep_scan_mpix_s": sweep_scan,
         "tracking_iters_s": tracking,
         "scan_amortized_mpix_s": scan_amortized,
     }))

@@ -59,9 +59,10 @@ def sharded_composite(tile_feats, counts, grid: TileGrid, cfg, mesh: Mesh,
 
     def local(feats, cts, ids):
         if cfg.use_pallas():
-            return composite_tiles_pallas(
+            accum, logt, _ = composite_tiles_pallas(
                 feats, cts, interpret=cfg.interpret, tile_ids=ids, **kwargs
             )
+            return accum, logt
         return composite_tiles_xla(feats, cts, tile_ids=ids, **kwargs)
 
     fn = shard_map(

@@ -22,9 +22,17 @@ Feature row layout (FEAT_DIM rows x K gaussians per tile):
   6 r | 7 g | 8 b | 9 depth | 10..15 padding
 
 Semantics vs CUDA: alpha clamped to 0.99, contributions with power > 0 or
-alpha < 1/255 dropped — identical. The CUDA early termination at T < 1e-4 is
-omitted (it only bounds work that the OIT form does not need); outputs differ
-from the strict reference by < 1e-4 in color and final transmittance.
+alpha < 1/255 dropped — identical. The CUDA early termination at T < 1e-4
+(`diff-gaussian-rasterization` forward.cu) is implemented at TILE granularity:
+the chunk loop stops once EVERY pixel's transmittance is below 1e-4, so the
+dropped tail is a subset of what the per-pixel CUDA stop drops (error bound
+< 1e-4 per channel, same as the reference's own truncation). The forward
+records chunks-processed per tile; the backward traverses exactly that
+prefix, making gradients exact for the early-stopped primal. Measured
+reality (TPU v5e, 65k dense-opaque scene): the all-2048-pixels condition is
+conservative — ~35/450 tiles fire, full tiles skip ~8% of their chunks, so
+this is a worst-case guard (pathological saturation) and a semantics-parity
+feature, not a bulk-throughput win at 16x128 tile granularity.
 """
 
 from __future__ import annotations
@@ -39,6 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 FEAT_DIM = 16
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+# Tile-level early-termination threshold: stop compositing once max-pixel
+# log-transmittance falls below log(1e-4) — the CUDA reference's per-pixel
+# T < 1e-4 stop, applied per tile (strictly conservative vs CUDA).
+LOG_T_STOP = -9.210340371976182
 # default accumulated channels: r, g, b, depth. The kernels are generic over
 # n_accum (= n_color_channels + 1 for depth), letting callers fuse several
 # color targets (e.g. rgb + segmentation) into one pass over the same bins.
@@ -215,6 +227,7 @@ def _fwd_kernel(
     feats_ref,
     accum_ref,
     logt_ref,
+    nproc_ref,
     *scratch,
     tiles_x: int,
     tile_h: int,
@@ -223,6 +236,7 @@ def _fwd_kernel(
     n_accum: int,
     sub_chunk: int,
     presort: bool = False,
+    early_stop: bool = True,
 ):
     i = pl.program_id(0)
     t = tile_ids_ref[i]  # global tile id (differs from i under shard_map)
@@ -267,14 +281,36 @@ def _fwd_kernel(
 
     accum0 = jnp.zeros((n_accum, P), jnp.float32)
     logt0 = jnp.zeros((1, P), jnp.float32)
-    accum, logt = jax.lax.fori_loop(0, nchunks, body, (accum0, logt0))
+    if early_stop:
+        # Dynamic trip count: stop once every pixel is saturated (max-pixel
+        # log-T < LOG_T_STOP). The backward replays exactly `nproc`
+        # sub-chunks, so gradients are exact for this primal.
+        def w_cond(state):
+            j, _, logt = state
+            return (j < nchunks) & (jnp.max(logt) >= LOG_T_STOP)
+
+        def w_body(state):
+            j, accum, logt = state
+            accum, logt = body(j, (accum, logt))
+            return j + 1, accum, logt
+
+        nproc, accum, logt = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), accum0, logt0)
+        )
+    else:
+        accum, logt = jax.lax.fori_loop(0, nchunks, body, (accum0, logt0))
+        nproc = nchunks
     accum_ref[0] = accum
     logt_ref[0] = logt
+    # Mosaic requires the block's trailing dims to equal the array's:
+    # broadcast the scalar into a (1, 128) i32 row (lane 0 read back outside).
+    nproc_ref[0] = jnp.full((1, 128), nproc, jnp.int32)
 
 
 def _bwd_kernel(
     counts_ref,
     tile_ids_ref,
+    nproc_ref,
     feats_ref,
     logt_final_ref,
     g_accum_ref,
@@ -295,6 +331,11 @@ def _bwd_kernel(
     K = feats_ref.shape[2]
     P = tile_h * tile_w
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
+    # Early-stop consistency: traverse exactly the sub-chunks the forward
+    # processed. count stays FULL for the presort permutation (the forward
+    # sorted with full count); count_eff bounds the gradient traversal —
+    # grads of dropped tail chunks are exactly zero for the stopped primal.
+    count_eff = jnp.minimum(count, nproc_ref[i] * sub_chunk)
 
     logt_final = logt_final_ref[0]  # (1, P)
     g_accum = g_accum_ref[0]  # (n_accum, P)
@@ -318,12 +359,12 @@ def _bwd_kernel(
 
     sub = sub_chunk
     per = chunk // sub
-    nblocks = pl.cdiv(count, chunk)
+    nblocks = pl.cdiv(count_eff, chunk)
 
     def sub_grads(cf, k0, s_after, b_after):
         """Gradient math for one (FEAT_DIM, SUB) sub-chunk (reverse order)."""
         slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
-        smask = slot < count
+        smask = slot < count_eff
         alpha, e, pgate, dx, dy = _chunk_alpha(cf, px, py, smask)
         l = jnp.log1p(-alpha)
         cum = _prefix_sum(l)  # inclusive prefix within sub-chunk
@@ -401,7 +442,7 @@ def _bwd_kernel(
             k0 = k0b + h * sub
             cf = cf_full[:, h * sub:(h + 1) * sub]
             gsub, s_after, b_after = jax.lax.cond(
-                k0 < count,
+                k0 < count_eff,
                 lambda cf, s_a, b_a, k0=k0: sub_grads(cf, k0, s_a, b_a),
                 lambda cf, s_a, b_a: (
                     jnp.zeros((FEAT_DIM, sub), jnp.float32), s_a, b_a
@@ -442,7 +483,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tile_h", "tile_w", "chunk", "interpret",
-                     "n_accum", "sub_chunk", "presort"),
+                     "n_accum", "sub_chunk", "presort", "early_stop"),
 )
 def composite_tiles_pallas(
     tile_feats: jnp.ndarray,
@@ -457,6 +498,7 @@ def composite_tiles_pallas(
     n_accum: int = ACCUM_DIM,
     sub_chunk: int | None = None,
     presort: bool = False,
+    early_stop: bool = True,
 ):
     """Forward compositing. tile_feats (T, FEAT_DIM, K), counts (T,) int32.
 
@@ -464,7 +506,10 @@ def composite_tiles_pallas(
     computation (defaults to arange; sharded callers pass their slice).
     With ``presort`` the per-tile lists may arrive in ANY order: the kernel
     sorts feature columns front-to-back in VMEM first (`_presort_onehot`).
-    Returns accum (T, ACCUM_DIM, P) and final log-transmittance (T, 1, P).
+    Returns accum (T, ACCUM_DIM, P), final log-transmittance (T, 1, P), and
+    nproc (T,) — sub-chunks processed before the early-termination stop
+    (== ceil(count/sub_chunk) when ``early_stop`` is off or never fires);
+    feed it to `composite_tiles_pallas_bwd` for exact gradients.
     """
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
@@ -480,6 +525,7 @@ def composite_tiles_pallas(
         out_specs=[
             pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=(
             [pltpu.VMEM((F, K), jnp.float32)] if presort else []
@@ -488,15 +534,16 @@ def composite_tiles_pallas(
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
-        presort=presort,
+        presort=presort, early_stop=early_stop,
     )
-    accum, logt = pl.pallas_call(
+    accum, logt, nproc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((T, n_accum, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * K * P * 12,
@@ -504,7 +551,7 @@ def composite_tiles_pallas(
             transcendentals=3 * T * K * P,
         ),
     )(counts, tile_ids, tile_feats)
-    return accum, logt
+    return accum, logt, nproc[:, 0, 0]
 
 
 @functools.partial(
@@ -528,19 +575,25 @@ def composite_tiles_pallas_bwd(
     n_accum: int = ACCUM_DIM,
     sub_chunk: int | None = None,
     presort: bool = False,
+    nproc: jnp.ndarray | None = None,
 ):
     """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K).
 
     With ``presort`` the gradient comes back in the INPUT column order
     (the kernel re-sorts internally and un-sorts the gradient block).
+    ``nproc`` (T,) is the forward's early-termination chunk count; the
+    traversal covers exactly that prefix (defaults to all chunks).
     """
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
     if tile_ids is None:
         tile_ids = jnp.arange(T, dtype=jnp.int32)
+    sub = sub_chunk or chunk
+    if nproc is None:
+        nproc = jnp.full((T,), K // sub, jnp.int32)
     P = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -558,7 +611,7 @@ def composite_tiles_pallas_bwd(
     )
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
-        chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
+        chunk=chunk, n_accum=n_accum, sub_chunk=sub,
         presort=presort,
     )
     return pl.pallas_call(
@@ -571,7 +624,8 @@ def composite_tiles_pallas_bwd(
             bytes_accessed=T * (2 * F * K + 2 * n_accum * P + 2 * P) * 4,
             transcendentals=3 * T * K * P,
         ),
-    )(counts, tile_ids, tile_feats, logt_final, g_accum, g_logt)
+    )(counts, tile_ids, nproc.astype(jnp.int32), tile_feats, logt_final,
+      g_accum, g_logt)
 
 
 def composite_tiles_xla(
@@ -584,7 +638,9 @@ def composite_tiles_xla(
     chunk: int = 128,
     tile_ids: jnp.ndarray | None = None,
     n_accum: int = ACCUM_DIM,
+    sub_chunk: int | None = None,
     presort: bool = False,
+    early_stop: bool = True,
 ):
     """Pure-XLA twin of the Pallas forward (any backend, differentiable).
 
@@ -592,10 +648,14 @@ def composite_tiles_xla(
     Used as the CPU/GPU fallback and as the test oracle for the kernels.
     ``presort`` accepts unordered per-tile lists (sorts columns by the depth
     row, stop-gradient permutation — autodiff routes grads through the
-    gather).
+    gather). ``early_stop`` emulates the kernel's tile-level termination at
+    exactly the same sub-chunk granularity: contributions from sub-chunks
+    past the first fully-saturated boundary (max-pixel log-T < LOG_T_STOP)
+    are dropped, so twin and kernel stay bit-comparable.
     """
     T, F, K = tile_feats.shape
     P = tile_h * tile_w
+    sub = sub_chunk or chunk
 
     def one_tile(args):
         cf, count, tile_idx = args  # (F, K), (), ()
@@ -606,7 +666,16 @@ def composite_tiles_xla(
             perm = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
             cf = cf[:, perm]
         slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-        smask = slot < count
+        count_eff = count
+        if early_stop:
+            a0, _, _, _, _ = _chunk_alpha(cf, px, py, slot < count)
+            cum0 = jnp.cumsum(jnp.log1p(-a0), axis=0)
+            b = jax.lax.stop_gradient(cum0[sub - 1::sub]).max(axis=1)
+            sat = b < LOG_T_STOP  # (K//sub,)
+            nproc = jnp.where(sat.any(), jnp.argmax(sat) + 1, K // sub)
+            nproc = jnp.minimum(nproc, -(-count // sub))
+            count_eff = jnp.minimum(count, nproc * sub)
+        smask = slot < count_eff
         alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)
         l = jnp.log1p(-alpha)
         cum = jnp.cumsum(l, axis=0)

@@ -75,6 +75,10 @@ class RasterizeConfig(NamedTuple):
     max_dup: int = 16  # tile duplicates per Gaussian
     chunk: int = 128  # Gaussians per aligned compositing block
     sub_chunk: int = 64  # compute granule within a block (divides chunk)
+    # Tile-level early termination once every pixel's transmittance < 1e-4
+    # (the CUDA reference's per-pixel stop, applied conservatively per tile;
+    # output differs from no-stop by < 1e-4 — the reference's own bound).
+    early_stop: bool = True
     backend: str = "auto"  # "auto" | "pallas" | "pallas_interpret" | "xla"
     # "auto" picks per static N: "mask" (sort-free compare-sum binning, wins
     # below ~BINNING_AUTO_N where its O(tiles*N) work beats the latency-bound
@@ -109,30 +113,38 @@ class RenderOutput:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _composite(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig,
                n_accum: int):
-    return _composite_impl(tile_feats, counts, grid, cfg, n_accum)
+    accum, logt, _ = _composite_impl(tile_feats, counts, grid, cfg, n_accum)
+    return accum, logt
 
 
 def _composite_impl(tile_feats, counts, grid: TileGrid, cfg: RasterizeConfig,
                     n_accum: int):
+    """Returns (accum, logt, nproc) — nproc is the per-tile early-stop chunk
+    count from the Pallas forward (None on the XLA path, whose autodiff
+    handles the stop internally)."""
     kwargs = dict(
         tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
         chunk=cfg.chunk, n_accum=n_accum, presort=cfg.binning == "nosort",
+        early_stop=cfg.early_stop,
     )
     if cfg.use_pallas():
         return composite_tiles_pallas(
             tile_feats, counts, interpret=cfg.interpret,
             sub_chunk=cfg.sub_chunk, **kwargs
         )
-    return composite_tiles_xla(tile_feats, counts, **kwargs)
+    accum, logt = composite_tiles_xla(
+        tile_feats, counts, sub_chunk=cfg.sub_chunk, **kwargs)
+    return accum, logt, None
 
 
 def _composite_fwd(tile_feats, counts, grid, cfg, n_accum):
-    accum, logt = _composite_impl(tile_feats, counts, grid, cfg, n_accum)
-    return (accum, logt), (tile_feats, counts, logt)
+    accum, logt, nproc = _composite_impl(tile_feats, counts, grid, cfg,
+                                         n_accum)
+    return (accum, logt), (tile_feats, counts, logt, nproc)
 
 
 def _composite_bwd(grid, cfg, n_accum, res, g):
-    tile_feats, counts, logt = res
+    tile_feats, counts, logt, nproc = res
     g_accum, g_logt = g
     kwargs = dict(
         tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
@@ -140,13 +152,16 @@ def _composite_bwd(grid, cfg, n_accum, res, g):
     )
     if cfg.use_pallas():
         grad_feats = composite_tiles_pallas_bwd(
-            tile_feats, counts, logt, g_accum, g_logt,
+            tile_feats, counts, logt, g_accum, g_logt, nproc=nproc,
             interpret=cfg.interpret, sub_chunk=cfg.sub_chunk, **kwargs
         )
     else:
         # Differentiate the XLA twin directly.
         _, vjp = jax.vjp(
-            lambda f: composite_tiles_xla(f, counts, **kwargs), tile_feats
+            lambda f: composite_tiles_xla(
+                f, counts, sub_chunk=cfg.sub_chunk,
+                early_stop=cfg.early_stop, **kwargs),
+            tile_feats,
         )
         (grad_feats,) = vjp((g_accum, g_logt))
     return grad_feats, None

@@ -116,6 +116,74 @@ def test_nosort_inkernel_presort_matches_sorted(rng):
                                        np.asarray(gr) / scale, atol=1e-3)
 
 
+def test_early_stop_fires_and_grads_match(rng):
+    """Tile-level early termination: on a saturating scene the kernel stops
+    early (nproc < nchunks), outputs stay within the 1e-4 reference bound of
+    the no-stop render, and pallas/twin agree on the stopped primal+grads."""
+    from gsdx.kernels.composite import composite_tiles_pallas
+
+    n = 120
+    # splats spread across the view, each big enough to blanket whole tiles:
+    # every pixel stacks dozens of alpha~0.9 covers -> T < 1e-4 mid-list
+    means = np.stack([
+        rng.uniform(-3.0, 3.0, size=n),
+        rng.uniform(-0.5, 0.5, size=n),
+        rng.uniform(2.8, 3.2, size=n),
+    ], axis=1).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.full((n, 3), 1.5, np.float32)  # huge splats cover tiles
+    opac = np.full((n, 1), 0.95, np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    cam = make_cam()
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    cfg_stop = PALLAS._replace(sub_chunk=32)
+    cfg_xla = XLA._replace(sub_chunk=32)
+    cfg_full = cfg_stop._replace(early_stop=False)
+
+    out_p = rasterize(*args, cam, cfg_stop)
+    out_x = rasterize(*args, cam, cfg_xla)
+    out_f = rasterize(*args, cam, cfg_full)
+    # pallas == twin on the stopped primal (same exit rule, same granularity)
+    np.testing.assert_allclose(np.asarray(out_p.im), np.asarray(out_x.im),
+                               atol=1e-5)
+    # stopped vs full: bounded by the residual transmittance 1e-4
+    np.testing.assert_allclose(np.asarray(out_p.im), np.asarray(out_f.im),
+                               atol=2e-4)
+
+    def loss(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
+
+    g_p = jax.grad(lambda *a: loss(cfg_stop, *a), argnums=(0, 2, 3))(*args)
+    g_x = jax.grad(lambda *a: loss(cfg_xla, *a), argnums=(0, 2, 3))(*args)
+    for gp, gx in zip(g_p, g_x):
+        scale = np.abs(np.asarray(gx)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gp) / scale,
+                                   np.asarray(gx) / scale, atol=1e-4)
+
+    # the stop actually fires: some covered tile processes fewer sub-chunks
+    # than its count requires
+    from gsdx.render.binning import TileGrid, bin_gaussians
+    from gsdx.render.projection import project_gaussians
+    grid = TileGrid(height=H, width=W, tile_h=8, tile_w=128)
+    proj = project_gaussians(*args[:3], cam)
+    bins = bin_gaussians(proj.mean2d, proj.radius, proj.depth, proj.mask,
+                         grid, max_per_tile=128, max_dup=16)
+    feats = jnp.zeros((n, 16), jnp.float32)
+    feats = feats.at[:, 0:2].set(proj.mean2d).at[:, 2:5].set(proj.conic)
+    feats = feats.at[:, 5].set(jnp.asarray(opac[:, 0]) * proj.mask)
+    feats = feats.at[:, 6:9].set(jnp.asarray(colors))
+    feats = feats.at[:, 9].set(proj.depth)
+    tf = feats[bins.gauss_idx].transpose(0, 2, 1)
+    _, _, nproc = composite_tiles_pallas(
+        tf, bins.counts, tiles_x=grid.tiles_x, tile_h=8, tile_w=128,
+        chunk=128, sub_chunk=32, interpret=True)
+    nchunks = np.ceil(np.asarray(bins.counts) / 32)
+    assert (np.asarray(nproc) < nchunks).any(), "early stop never fired"
+
+
 def test_pallas_subchunk_matches_xla(rng):
     """Sub-128 compute granules (aligned loads + switch slices) stay exact."""
     means, quats, scales, opac, colors = make_scene(rng, n=60)

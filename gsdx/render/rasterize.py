@@ -74,7 +74,12 @@ class RasterizeConfig(NamedTuple):
     max_per_tile: int = 512  # K: per-tile Gaussian capacity (multiple of chunk)
     max_dup: int = 16  # tile duplicates per Gaussian
     chunk: int = 128  # Gaussians per aligned compositing block
-    sub_chunk: int = 64  # compute granule within a block (divides chunk)
+    # Compute granule within a block (divides chunk). 0 = auto by static N:
+    # 64 in the low-occupancy mask regime (finer count-gating wins), 128 at
+    # large N where near-full tiles favor full-width granules (within-session
+    # A/B, TPU v5e fwd+bwd: 5k 64: 5.51 vs 128: ~5.5+; 65k 128: 12.35 vs
+    # 64: 12.58 vs 32: 13.1).
+    sub_chunk: int = 0
     # Tile-level early termination once every pixel's transmittance < 1e-4
     # (the CUDA reference's per-pixel stop, applied conservatively per tile;
     # output differs from no-stop by < 1e-4 — the reference's own bound).
@@ -306,7 +311,9 @@ def rasterize(
         # approximately (bucket-resolution) nearest-K instead of exactly
         # nearest-K — see `bin_gaussians_unsorted`.
         binning = "mask" if n <= BINNING_AUTO_N else "nosort"
-    cfg = cfg._replace(binning=binning)  # pin resolved mode (jit cache key)
+    sub_chunk = cfg.sub_chunk or (64 if n <= BINNING_AUTO_N else 128)
+    # pin resolved modes (jit cache key)
+    cfg = cfg._replace(binning=binning, sub_chunk=sub_chunk)
     if bins is not None:
         pass  # caller-supplied bins (reuse across passes / profiling)
     elif binning in ("unsorted", "nosort"):

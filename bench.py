@@ -175,11 +175,14 @@ def bench_tracking(n_iters=30):
         fit = make_fit_timestep(cfg, is_initial=is_initial,
                                 num_iters=n_iters)
         order = camera_order(n_iters, 4, host_rng)
-        # warmup (compile) + one timed run of the n_iters-step scan
+        # warmup (compile) + one timed run of the n_iters-step scan. The
+        # timed call uses a DIFFERENT PRNG key: repeated identical calls on
+        # this box can return cached results instantly (violating physics).
         r = fit(params, opt_state, variables, lrs, cams, ims, segs, order, key)
         jax.block_until_ready(r[0].means3d)
+        key2 = jax.random.PRNGKey(7)
         t0 = time.perf_counter()
-        r = fit(params, opt_state, variables, lrs, cams, ims, segs, order, key)
+        r = fit(params, opt_state, variables, lrs, cams, ims, segs, order, key2)
         jax.block_until_ready(r[0].means3d)
         out[branch] = round(n_iters / (time.perf_counter() - t0), 2)
     return out

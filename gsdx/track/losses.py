@@ -84,20 +84,66 @@ def _band_matrix(n: int) -> np.ndarray:
     return _BAND_CACHE[n]
 
 
+_TOEPLITZ_CACHE: dict = {}
+
+
+def _toeplitz_block(blk: int) -> np.ndarray:
+    """(blk, blk+10) Toeplitz window block: out_local[i] = sum_o w[o] *
+    padded[i + o] for an 11-tap window and a 5-padded source slice."""
+    if blk not in _TOEPLITZ_CACHE:
+        m = np.zeros((blk, blk + 10), np.float32)
+        i = np.arange(blk)
+        for o, w in enumerate(_WINDOW_1D):
+            m[i, i + o] = w
+        _TOEPLITZ_CACHE[blk] = m
+    return _TOEPLITZ_CACHE[blk]
+
+
+def _blur_h(img: jnp.ndarray, blk: int = 128) -> jnp.ndarray:
+    """1D Gaussian blur along axis 1 of (C, H, W), zero-padded SAME.
+
+    Block-Toeplitz form: overlapping (blk+10)-row slices against ONE
+    (blk, blk+10) window matrix — ~6x fewer MXU FLOPs than the dense
+    (H, H) banded matmul (band 11 << H; zeros still cost MXU work), and
+    exactly equal (padded/zero terms contribute exact f32 zeros).
+    """
+    C, H, W = img.shape
+    bk = H if H <= 2 * blk else blk
+    Hp = -(-H // bk) * bk
+    x = jnp.pad(img, ((0, 0), (5, 5 + Hp - H), (0, 0)))
+    blocks = jnp.stack(
+        [x[:, b * bk:b * bk + bk + 10] for b in range(Hp // bk)], axis=1
+    )  # (C, nb, bk+10, W)
+    t = jnp.asarray(_toeplitz_block(bk))
+    out = jnp.einsum("ik,cbkw->cbiw", t, blocks, precision="float32")
+    return out.reshape(C, Hp, W)[:, :H]
+
+
+def _blur_w(img: jnp.ndarray, blk: int = 128) -> jnp.ndarray:
+    """Same as `_blur_h` along the last axis."""
+    C, H, W = img.shape
+    bk = W if W <= 2 * blk else blk
+    Wp = -(-W // bk) * bk
+    x = jnp.pad(img, ((0, 0), (0, 0), (5, 5 + Wp - W)))
+    blocks = jnp.stack(
+        [x[..., b * bk:b * bk + bk + 10] for b in range(Wp // bk)], axis=2
+    )  # (C, H, nb, bk+10)
+    t = jnp.asarray(_toeplitz_block(bk))
+    out = jnp.einsum("chbk,ik->chbi", blocks, t, precision="float32")
+    return out.reshape(C, H, Wp)[..., :W]
+
+
 def _filter2d(img: jnp.ndarray) -> jnp.ndarray:
     """Depthwise 11x11 Gaussian filter over (C, H, W), SAME padding.
 
-    The window is separable, and on TPU each 1D pass is expressed as a
-    banded-matrix matmul so the blur runs on the MXU: depthwise/grouped
-    convolutions lower to shifted adds on the VPU and dominated the tracking
-    step (26 ms fwd+bwd at 720p), vs <2 ms as two matmuls per pass.
+    The window is separable, and on TPU each 1D pass is a block-Toeplitz
+    matmul on the MXU (`_blur_h`/`_blur_w`): depthwise/grouped convolutions
+    lower to shifted adds on the VPU and dominated the tracking step (26 ms
+    fwd+bwd at 720p); dense (H, H)/(W, W) banded matmuls (`_band_matrix`,
+    kept as the reference form) spend >85% of their MXU FLOPs on structural
+    zeros.
     """
-    C, H, W = img.shape
-    bh = jnp.asarray(_band_matrix(H))  # (H, H)
-    bw = jnp.asarray(_band_matrix(W))  # (W, W)
-    out = jnp.einsum("hk,ckw->chw", bh, img, precision="float32")
-    out = jnp.einsum("ckw,wj->ckj", out, bw.T, precision="float32")
-    return out
+    return _blur_w(_blur_h(img))
 
 
 def calc_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

@@ -69,7 +69,7 @@ def bench_raster(n, iters=20):
     return H * W / dt / 1e6  # Mpix/s
 
 
-def bench_raster_scan(n, scan_len=10, iters=10):
+def bench_raster_scan(n, scan_len=20, iters=5):
     """Scan-amortized variant: `scan_len` chained fwd+bwd steps inside ONE
     executable — how the production tracking loop actually runs
     (`gsdx/track/trainer.py` scan-compiles iterations), removing the
@@ -233,7 +233,7 @@ def main():
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / CUDA_REFERENCE_MPIX_S, 4),
-        "headline_mode": ("scan_amortized_10step"
+        "headline_mode": ("scan_amortized_20step"
                           if isinstance(scan_amortized, float)
                           else "per_dispatch"),
         "per_dispatch_mpix_s": per_dispatch,

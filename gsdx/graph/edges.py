@@ -3,8 +3,10 @@
 Produces the dense one-hot relation matrices Rr, Rs in (max_nR, N) form the
 GNN consumes via matmuls. The reference enumerates edges with a dynamic
 `nonzero` and allocates (n_rels, N); here the adjacency matrix is packed into
-a fixed max_nR edge budget with a stable argsort (row-major edge order is
-preserved, matching torch nonzero ordering). Fully jit/vmap-safe.
+a fixed max_nR edge budget SORT-FREE — row-major edge order (matching torch
+nonzero ordering) makes each receiver row's slots a consecutive range, so
+the packing is range compares + one-hot matmuls over the row-prefix counts.
+Fully jit/vmap-safe.
 
 Semantics preserved:
   * squared-distance threshold adj_thresh^2;
@@ -68,19 +70,34 @@ def construct_edges(
         adj = jnp.where(tool12, False, adj)
         adj = adj & mask12
 
-    # pack set bits (row-major) into max_nR slots
-    flat = adj.reshape(-1)
-    order = jnp.argsort(~flat, stable=True).astype(jnp.int32)  # set bits first
-    n_rels = jnp.sum(flat).astype(jnp.int32)
-    e_idx = jnp.arange(max_nR, dtype=jnp.int32)
-    pos = order[jnp.minimum(e_idx, N * N - 1)]
-    valid = e_idx < jnp.minimum(n_rels, max_nR)
-    r = pos // N
-    s = pos % N
-    onehot = jnp.arange(N, dtype=jnp.int32)
-    Rr = (r[:, None] == onehot[None, :]) & valid[:, None]
-    Rs = (s[:, None] == onehot[None, :]) & valid[:, None]
-    return Rr.astype(jnp.float32), Rs.astype(jnp.float32)
+    # Pack set bits (row-major) into max_nR slots — SORT-FREE. In row-major
+    # order the edges of receiver row i occupy the CONSECUTIVE slot range
+    # [rowstart[i], rowstart[i] + rowcount[i]), so Rr^T is a pure range
+    # compare, and Rs selects each slot's sender as the (rank)-th set bit of
+    # its receiver row via one-hot matmuls. Replaces a (N*N,) stable argsort
+    # that cost 8.9 ms per 1000-sample batch in the MPPI rollout loop.
+    # Exactness: all matmuls contract a 0/1 one-hot against integers
+    # < 2^24 with f32 accumulation — every output is a single exact term.
+    adjf = adj.astype(jnp.float32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    tri_le = (row_i <= col_j).astype(jnp.float32)  # lower-tri ones, (j' <= j)
+    inc = jnp.dot(adjf, tri_le, preferred_element_type=jnp.float32)  # (N, N)
+    rowcount = inc[:, -1]  # (N,)
+    rowstart = jnp.cumsum(rowcount) - rowcount  # exclusive prefix (N,)
+
+    e = jnp.arange(max_nR, dtype=jnp.float32)
+    rr_t = ((e[None, :] >= rowstart[:, None])
+            & (e[None, :] < rowstart[:, None] + rowcount[:, None]))  # (N, E)
+    rr_tf = rr_t.astype(jnp.float32)
+    # per-slot receiver-row selections (each rr_t column has <= 1 set bit)
+    inc_sel = jnp.dot(rr_tf.T, inc, preferred_element_type=jnp.float32)
+    adj_sel = jnp.dot(rr_tf.T, adjf, preferred_element_type=jnp.float32)
+    start_sel = jnp.dot(rr_tf.T, rowstart[:, None],
+                        preferred_element_type=jnp.float32)[:, 0]  # (E,)
+    rank = e - start_sel  # within-row rank of each slot
+    Rs = adj_sel * (inc_sel == rank[:, None] + 1.0)  # (E, N) exact one-hot
+    return rr_tf.T, Rs
 
 
 def construct_edges_batch(states, adj_thresh, mask, tool_mask, n_obj, topk=10,

@@ -102,3 +102,27 @@ def test_edges_batch_matches_single(rng):
         )
         np.testing.assert_array_equal(np.asarray(Rr_b[b]), np.asarray(Rr))
         np.testing.assert_array_equal(np.asarray(Rs_b[b]), np.asarray(Rs))
+
+
+def test_edges_overflow_truncates_row_major(rng):
+    """n_rels > max_nR keeps exactly the FIRST max_nR row-major edges
+    (the range-packing truncation path)."""
+    n_obj, n_tool, topk, thresh = 20, 1, 8, 2.0  # dense graph
+    N = n_obj + n_tool
+    states = rng.uniform(-0.2, 0.2, size=(N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+    tool_mask = np.zeros(N, bool)
+    tool_mask[n_obj:] = True
+
+    adj_ref, rels_ref = reference_edges_np(
+        states.copy(), thresh, mask, tool_mask, topk, False)
+    max_nR = len(rels_ref) // 2
+    assert max_nR >= 8, "scene not dense enough for the overflow case"
+    Rr, Rs = construct_edges(
+        jnp.asarray(states), thresh, jnp.asarray(mask), jnp.asarray(tool_mask),
+        n_obj=n_obj, topk=topk, max_nR=max_nR,
+    )
+    Rr, Rs = np.asarray(Rr), np.asarray(Rs)
+    got = [(int(Rr[e].argmax()), int(Rs[e].argmax())) for e in range(max_nR)]
+    np.testing.assert_array_equal(np.array(got), rels_ref[:max_nR])
+    assert (Rr.sum(1) == 1).all() and (Rs.sum(1) == 1).all()

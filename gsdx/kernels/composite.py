@@ -134,91 +134,67 @@ def _load_subchunk(feats_ref, j, chunk: int, sub: int, lead: bool = True):
     )
 
 
-def _presort_onehot(blk, count, depth_row: int, slab: int):
-    """Depth-rank one-hot permutation for one (F, K) tile feature block.
+# Every dot that moves f32 keys/ranks/features MUST run at HIGHEST
+# precision: the TPU MXU's default one-pass bf16 truncates f32 operands
+# (nearby depth keys collide; ranks > 256 aren't even representable),
+# silently corrupting the permutation. The split passes are exact here
+# because one operand of every product is an exactly-representable 0/1.
+_HI = jax.lax.Precision.HIGHEST
 
-    Enables consuming UNSORTED per-tile lists (binning with no global depth
-    argsort anywhere): each column's front-to-back rank is its pairwise
-    compare-count (ties broken by slot index, matching the stable global
-    argsort of the sort-based binners), turned into a (K, K) one-hot matrix
-    that permutes the feature columns with one MXU matmul — exact, because
-    each output element is a sum with exactly one nonzero f32 term.
 
-    Work is count-adaptive: slabs of ``slab`` columns starting past ``count``
-    are skipped (their keys are the sentinel; every skipped column collapses
-    to rank == count, which only ever lands in the masked slot range).
-    Returns (sorted_block (F, K), oslabs list of (slab, K) one-hot slabs);
-    the backward un-sorts gradients slab-by-slab with the transposed slabs.
+def _row_to_col(row: jnp.ndarray) -> jnp.ndarray:
+    """(1, K) -> (K, 1) via an identity MXU contraction.
+
+    Mosaic has no cheap lane->sublane relayout; one HIGHEST-precision matmul
+    against the identity one-hot is exact and a single MXU call.
     """
-    F, K = blk.shape
-    nslab = K // slab
-    keys = blk[depth_row:depth_row + 1, :]  # (1, K)
+    K = row.shape[1]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+           ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        eye, row, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # (K, 1)
+
+
+def _rank_by_depth(keys_row: jnp.ndarray, count) -> jnp.ndarray:
+    """Front-to-back rank (1, K) of every column from its (1, K) depth keys.
+
+    rank_j = #{i : (key_i, i) < (key_j, j)} — ties broken by slot index,
+    matching the stable global argsort of the sort-based binners. One
+    full-width (K, K) pairwise compare reduced by one MXU matmul (two MXU
+    calls total — per-tile call latency, not FLOPs, dominates this kernel,
+    so full-width single calls beat count-gated slab loops). Columns past
+    ``count`` get a finite sentinel (NOT +inf: 0 * inf would poison the
+    selection contractions with NaNs) and rank count..K-1 in index order,
+    landing in the masked slot range.
+    """
+    K = keys_row.shape[1]
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    # finite sentinel, NOT +inf: keys ride through selection matmuls where
-    # 0 * inf would poison the contraction with NaNs
-    keys = jnp.where(slot < count, keys, jnp.float32(1e30))
+    keys = jnp.where(slot < count, keys_row, jnp.float32(1e30))
+    kT = _row_to_col(keys)  # (K, 1): key_i down rows
+    iT = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    before = (kT < keys) | ((kT == keys) & (iT < col))  # (K, K)
+    ones = jnp.ones((1, K), jnp.bfloat16)
+    return jax.lax.dot_general(
+        ones, before.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, K) integer-valued, exact in f32 (K <= 2^24)
 
-    col_j = jax.lax.broadcasted_iota(jnp.int32, (slab, K), 1)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (slab, K), 0)
-    ones_row = jnp.ones((1, slab), jnp.bfloat16)
 
-    # Every dot that moves f32 keys/ranks/features MUST run at HIGHEST
-    # precision: the TPU MXU's default one-pass bf16 truncates f32 operands
-    # (nearby depth keys collide; ranks > 256 aren't even representable),
-    # silently corrupting the permutation. The 3-pass split is exact here
-    # because one operand of every product is an exactly-representable 0/1.
-    HI = jax.lax.Precision.HIGHEST
+def _onehot_from_rank(rank: jnp.ndarray) -> jnp.ndarray:
+    """(K, K) permutation one-hot P[k, c] = (rank_k == c) from (1, K) ranks.
 
-    def keys_as_col(vec, s):
-        # (1, K) -> (slab, 1) column s*slab..s*slab+slab via an MXU
-        # contraction with a slab-selection one-hot (Mosaic has no cheap
-        # lane->sublane transpose; this is one tiny matmul).
-        E = (col_j == row_i + s * slab).astype(jnp.float32)
-        return jax.lax.dot_general(
-            E, vec, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # (slab, 1)
-
-    rank = jnp.zeros((1, K), jnp.float32)
-    for s in range(nslab):
-        def slab_rank(r, s=s):
-            kc = keys_as_col(keys, s)  # (slab, 1)
-            gi = row_i[:, :1] + s * slab  # (slab, 1) global i
-            before = (kc < keys) | ((kc == keys) & (gi < col_j))
-            C = before.astype(jnp.bfloat16)  # 0/1 exact in bf16
-            part = jax.lax.dot_general(
-                ones_row, C, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, K) integer-valued, exact in f32
-            return r + part
-
-        rank = jax.lax.cond(s * slab < count, slab_rank, lambda r: r, rank)
-
-    # Build the one-hot slab-by-slab and apply it in the same count-gated
-    # cond: at low occupancy only ceil(count/slab) of the K/slab
-    # (F, slab) @ (slab, K) HIGHEST-precision matmuls run (HIGHEST is 3-6x
-    # a plain pass — gating it is most of the presort cost at small counts).
-    r_iota = col_j.astype(jnp.float32)  # (slab, K) target rank per lane
-    oslabs = []
-    sorted_blk = jnp.zeros((F, K), jnp.float32)
-    for s in range(nslab):
-        def slab_apply(sb, s=s):
-            rc = keys_as_col(rank, s)  # (slab, 1) rank of columns in slab
-            osl = (rc == r_iota).astype(jnp.float32)  # (slab, K)
-            sb = sb + jax.lax.dot_general(
-                blk[:, s * slab:(s + 1) * slab], osl,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
-            return sb, osl
-
-        sorted_blk, osl = jax.lax.cond(
-            s * slab < count, slab_apply,
-            lambda sb: (sb, jnp.zeros((slab, K), jnp.float32)),
-            sorted_blk,
-        )
-        oslabs.append(osl)
-    return sorted_blk, oslabs
+    sorted = blk @ P permutes feature columns front-to-back in ONE MXU call;
+    the backward un-sorts with g @ P^T. Exact: each output element is a sum
+    with exactly one nonzero f32 term.
+    """
+    K = rank.shape[1]
+    rT = _row_to_col(rank)  # (K, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1).astype(jnp.float32)
+    return (rT == col).astype(jnp.float32)
 
 
 def _fwd_kernel(
@@ -228,7 +204,7 @@ def _fwd_kernel(
     accum_ref,
     logt_ref,
     nproc_ref,
-    *scratch,
+    *rest,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
@@ -246,12 +222,25 @@ def _fwd_kernel(
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
 
     if presort:
-        (sort_ref,) = scratch
-        sorted_blk, _ = _presort_onehot(
-            feats_ref[0], count, 5 + n_accum, chunk
-        )
-        sort_ref[...] = sorted_blk
-        src, lead = sort_ref, False
+        # rank + sorted features are OUTPUTS: the backward consumes them
+        # instead of recomputing the depth-rank permutation (the sort
+        # recompute used to dominate the backward's per-tile MXU call count).
+        rank_ref, sort_ref = rest
+        rank_ref[0] = jnp.zeros((1, K), jnp.float32)
+        sort_ref[0] = jnp.zeros((FEAT_DIM, K), jnp.float32)
+
+        @pl.when(count > 0)
+        def _sort():
+            rank = _rank_by_depth(feats_ref[0, 5 + n_accum:6 + n_accum, :],
+                                  count)
+            osl = _onehot_from_rank(rank)
+            rank_ref[0] = rank
+            sort_ref[0] = jax.lax.dot_general(
+                feats_ref[0], osl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+
+        src, lead = sort_ref, True
     else:
         src, lead = feats_ref, True
 
@@ -315,8 +304,7 @@ def _bwd_kernel(
     logt_final_ref,
     g_accum_ref,
     g_logt_ref,
-    grad_ref,
-    *scratch,
+    *rest,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
@@ -325,6 +313,14 @@ def _bwd_kernel(
     sub_chunk: int,
     presort: bool = False,
 ):
+    if presort:
+        # With presort, feats_ref holds the SORTED features persisted by the
+        # forward and rank_ref its (1, K) depth ranks — no sort recompute.
+        # Grads are computed in sorted space and un-sorted at the end with
+        # one transposed-one-hot MXU matmul.
+        rank_ref, grad_ref = rest
+    else:
+        (grad_ref,) = rest
     i = pl.program_id(0)
     t = tile_ids_ref[i]
     count = counts_ref[i]
@@ -332,29 +328,15 @@ def _bwd_kernel(
     P = tile_h * tile_w
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w)
     # Early-stop consistency: traverse exactly the sub-chunks the forward
-    # processed. count stays FULL for the presort permutation (the forward
-    # sorted with full count); count_eff bounds the gradient traversal —
-    # grads of dropped tail chunks are exactly zero for the stopped primal.
+    # processed; grads of dropped tail chunks are exactly zero for the
+    # stopped primal.
     count_eff = jnp.minimum(count, nproc_ref[i] * sub_chunk)
 
     logt_final = logt_final_ref[0]  # (1, P)
     g_accum = g_accum_ref[0]  # (n_accum, P)
     g_logt = g_logt_ref[0]  # (1, P)
 
-    if presort:
-        # recompute the depth-rank permutation (cheaper than persisting it
-        # across the fwd/bwd HBM round-trip); grads are computed in sorted
-        # space and un-sorted at the end with the transposed one-hot slabs.
-        sort_ref, gsort_ref = scratch
-        sorted_blk, oslabs = _presort_onehot(
-            feats_ref[0], count, 5 + n_accum, chunk
-        )
-        sort_ref[...] = sorted_blk
-        src, lead, gdst = sort_ref, False, gsort_ref
-        gsort_ref[...] = jnp.zeros((FEAT_DIM, K), jnp.float32)
-    else:
-        src, lead, gdst = feats_ref, True, None
-
+    src, lead = feats_ref, True
     grad_ref[0] = jnp.zeros((FEAT_DIM, K), jnp.float32)
 
     sub = sub_chunk
@@ -451,33 +433,22 @@ def _bwd_kernel(
             )
             gsubs[h] = gsub
         gblock = gsubs[0] if per == 1 else jnp.concatenate(gsubs, axis=1)
-        if presort:
-            gdst[:, pl.ds(k0b, chunk)] = gblock
-        else:
-            grad_ref[0, :, pl.ds(k0b, chunk)] = gblock
+        grad_ref[0, :, pl.ds(k0b, chunk)] = gblock
         return s_after, b_after
 
     zero = jnp.zeros((1, P), jnp.float32)
     jax.lax.fori_loop(0, nblocks, body, (zero, zero))
     if presort:
-        # un-sort: grad_unsorted[:, j] = grad_sorted[:, rank_j]; HIGHEST for
-        # exact f32 x one-hot products (MXU default truncates f32 to bf16);
-        # slab-gated like the forward apply (dead slabs' grads are zeros).
-        gfull = gdst[...]
-        slab = chunk
-        gparts = []
-        for s in range(len(oslabs)):
-            gparts.append(jax.lax.cond(
-                s * slab < count,
-                lambda s=s: jax.lax.dot_general(
-                    gfull, oslabs[s], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ),
-                lambda: jnp.zeros((FEAT_DIM, slab), jnp.float32),
-            ))
-        grad_ref[0] = (gparts[0] if len(gparts) == 1
-                       else jnp.concatenate(gparts, axis=1))
+        # un-sort in place: grad_unsorted[:, k] = grad_sorted[:, rank_k] =
+        # (g_sorted @ P^T)[:, k] — one HIGHEST MXU matmul (exact f32 x 0/1
+        # products; the MXU default would truncate f32 grads to bf16).
+        @pl.when(count_eff > 0)
+        def _unsort():
+            osl = _onehot_from_rank(rank_ref[0])
+            grad_ref[0] = jax.lax.dot_general(
+                grad_ref[0], osl, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
 
 
 @functools.partial(
@@ -505,52 +476,66 @@ def composite_tiles_pallas(
     tile_ids maps array rows to global tile indices for pixel-coordinate
     computation (defaults to arange; sharded callers pass their slice).
     With ``presort`` the per-tile lists may arrive in ANY order: the kernel
-    sorts feature columns front-to-back in VMEM first (`_presort_onehot`).
+    sorts feature columns front-to-back in VMEM first (`_rank_by_depth` +
+    one one-hot MXU matmul).
     Returns accum (T, ACCUM_DIM, P), final log-transmittance (T, 1, P), and
     nproc (T,) — sub-chunks processed before the early-termination stop
-    (== ceil(count/sub_chunk) when ``early_stop`` is off or never fires);
-    feed it to `composite_tiles_pallas_bwd` for exact gradients.
+    (== ceil(count/sub_chunk) when ``early_stop`` is off or never fires).
+    With ``presort`` two more outputs follow: rank (T, 1, K) and the sorted
+    features (T, F, K) — feed all three to `composite_tiles_pallas_bwd` so
+    the backward skips the sort recompute entirely.
     """
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
     if tile_ids is None:
         tile_ids = jnp.arange(T, dtype=jnp.int32)
     P = tile_h * tile_w
+    out_specs = [
+        pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 128), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n_accum, P), jnp.float32),
+        jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        jax.ShapeDtypeStruct((T, 1, 128), jnp.int32),
+    ]
+    if presort:
+        out_specs += [
+            pl.BlockSpec((1, 1, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, F, K), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((F, K), jnp.float32)] if presort else []
-        ),
+        out_specs=out_specs,
     )
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         chunk=chunk, n_accum=n_accum, sub_chunk=sub_chunk or chunk,
         presort=presort, early_stop=early_stop,
     )
-    accum, logt, nproc = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, n_accum, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, 128), jnp.int32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * K * P * 12,
             bytes_accessed=T * (F * K + n_accum * P + P) * 4,
             transcendentals=3 * T * K * P,
         ),
     )(counts, tile_ids, tile_feats)
+    accum, logt, nproc = outs[:3]
+    if presort:
+        return accum, logt, nproc[:, 0, 0], outs[3], outs[4]
     return accum, logt, nproc[:, 0, 0]
 
 
@@ -576,37 +561,43 @@ def composite_tiles_pallas_bwd(
     sub_chunk: int | None = None,
     presort: bool = False,
     nproc: jnp.ndarray | None = None,
+    rank: jnp.ndarray | None = None,
 ):
     """Backward compositing: gradient w.r.t. tile_feats, dense (T, F, K).
 
-    With ``presort`` the gradient comes back in the INPUT column order
-    (the kernel re-sorts internally and un-sorts the gradient block).
+    With ``presort``, ``tile_feats`` must be the SORTED features persisted
+    by the forward and ``rank`` its (T, 1, K) depth ranks; the gradient
+    comes back in the ORIGINAL input column order (one transposed-one-hot
+    un-sort matmul per tile — no sort recompute).
     ``nproc`` (T,) is the forward's early-termination chunk count; the
     traversal covers exactly that prefix (defaults to all chunks).
     """
     T, F, K = tile_feats.shape
     assert F == FEAT_DIM and K % chunk == 0
+    assert (rank is not None) == presort, "presort needs the forward's rank"
     if tile_ids is None:
         tile_ids = jnp.arange(T, dtype=jnp.int32)
     sub = sub_chunk or chunk
     if nproc is None:
         nproc = jnp.full((T,), K // sub, jnp.int32)
     P = tile_h * tile_w
+    in_specs = [
+        pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [tile_feats, logt_final, g_accum, g_logt]
+    if presort:
+        in_specs.append(
+            pl.BlockSpec((1, 1, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM))
+        inputs.append(rank)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_accum, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, F, K), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=(
-            [pltpu.VMEM((F, K), jnp.float32), pltpu.VMEM((F, K), jnp.float32)]
-            if presort else []
         ),
     )
     kernel = functools.partial(
@@ -624,8 +615,7 @@ def composite_tiles_pallas_bwd(
             bytes_accessed=T * (2 * F * K + 2 * n_accum * P + 2 * P) * 4,
             transcendentals=3 * T * K * P,
         ),
-    )(counts, tile_ids, nproc.astype(jnp.int32), tile_feats, logt_final,
-      g_accum, g_logt)
+    )(counts, tile_ids, nproc.astype(jnp.int32), *inputs)
 
 
 def composite_tiles_xla(

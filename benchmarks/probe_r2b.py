@@ -53,14 +53,18 @@ def scene(n):
 
 
 def bench(fn, inputs, label, iters=20):
-    out = fn(*inputs)
+    # Every benched fn takes a leading `eps` scalar folded into its first
+    # float input: a fresh value per call defeats this box's duplicate-
+    # dispatch result cache (CLAUDE.md: repeated identical calls can return
+    # fake-fast cached results — measured 90912 "iters/s").
+    out = fn(jnp.float32(0.0), *inputs)
     jax.block_until_ready(out)
-    for _ in range(3):
-        out = fn(*inputs)
+    for i in range(1, 4):
+        out = fn(jnp.float32(i * 1e-30), *inputs)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*inputs)
+    for i in range(iters):
+        out = fn(jnp.float32((100 + i) * 1e-30), *inputs)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{label:48s} {dt:8.3f} ms", flush=True)
@@ -86,13 +90,13 @@ kw = dict(tiles_x=grid.tiles_x, tile_h=grid.tile_h, tile_w=grid.tile_w,
           chunk=cfg.chunk, n_accum=4, sub_chunk=128, presort=True)
 
 
-def fwd(tf, cts):
-    return composite_tiles_pallas(tf, cts, early_stop=True, **kw)
+def fwd(eps, tf, cts):
+    return composite_tiles_pallas(tf + eps, cts, early_stop=True, **kw)
 
 
-def fwdbwd(tf, cts):
+def fwdbwd(eps, tf, cts):
     accum, logt, nproc, rank, sfeats = composite_tiles_pallas(
-        tf, cts, early_stop=True, **kw)
+        tf + eps, cts, early_stop=True, **kw)
     g = composite_tiles_pallas_bwd(
         sfeats, cts, logt, accum * 1e-3, logt * 1e-3, nproc=nproc, rank=rank,
         **kw)
@@ -112,12 +116,13 @@ for rep in (1, 2):
 from gsdx.render.binning import _bbox_tiles
 
 
-def bin_current(mean2d, radius, depth, mask):
-    return bin_gaussians_unsorted(mean2d, radius, depth, mask, grid,
+def bin_current(eps, mean2d, radius, depth, mask):
+    return bin_gaussians_unsorted(mean2d + eps, radius, depth, mask, grid,
                                   max_per_tile=K, max_dup=cfg.max_dup)
 
 
-def phase1_two(cnt_cum, cnt):
+def phase1_two(eps, cnt_cum, cnt):
+    cnt_cum = cnt_cum + eps
     tgt = jnp.arange(1, K + 1, dtype=jnp.float32)
     lt = cnt_cum[:, :, None] < tgt[None, None, :]
     blk = lt.astype(jnp.float32).sum(axis=1).astype(jnp.int32)
@@ -125,7 +130,8 @@ def phase1_two(cnt_cum, cnt):
     return blk, cnt_before
 
 
-def phase1_stacked(cnt_cum, cnt):
+def phase1_stacked(eps, cnt_cum, cnt):
+    cnt_cum = cnt_cum + eps
     tgt = jnp.arange(1, K + 1, dtype=jnp.float32)
     lt = cnt_cum[:, :, None, None] < tgt[None, None, :, None]  # (T,NB,K,1)
     vals = jnp.stack(
@@ -134,7 +140,8 @@ def phase1_stacked(cnt_cum, cnt):
     return both[..., 0].astype(jnp.int32), both[..., 1]
 
 
-def phase1_mxu(cnt_cum, cnt):
+def phase1_mxu(eps, cnt_cum, cnt):
+    cnt_cum = cnt_cum + eps
     # lt as bf16 (exact 0/1), reduce over NB with one batched MXU matmul
     tgt = jnp.arange(1, K + 1, dtype=jnp.float32)
     lt = (cnt_cum[:, :, None] < tgt[None, None, :]).astype(jnp.bfloat16)
@@ -151,7 +158,7 @@ MSK = proj.mask
 
 x0, y0, x1, y1 = _bbox_tiles(MEAN2D, RAD, grid)
 CNT = jnp.asarray(
-    np.random.default_rng(2).integers(0, 130, size=(T, 512)).astype(np.float32))
+    np.random.default_rng(2).integers(0, 129, size=(T, 512)).astype(np.float32))
 CNT_CUM = jnp.cumsum(CNT, axis=1)
 
 p1_two = jax.jit(phase1_two)
@@ -159,9 +166,10 @@ p1_st = jax.jit(phase1_stacked)
 p1_mx = jax.jit(phase1_mxu)
 b_cur = jax.jit(bin_current)
 
-a = p1_two(CNT_CUM, CNT)
-b = p1_st(CNT_CUM, CNT)
-c = p1_mx(CNT_CUM, CNT)
+z = jnp.float32(0.0)
+a = p1_two(z, CNT_CUM, CNT)
+b = p1_st(z, CNT_CUM, CNT)
+c = p1_mx(z, CNT_CUM, CNT)
 print("phase1 agree two/stacked:",
       bool(jnp.all(a[0] == b[0])), bool(jnp.all(a[1] == b[1])),
       "two/mxu:", bool(jnp.all(a[0] == c[0])), bool(jnp.all(a[1] == c[1])),

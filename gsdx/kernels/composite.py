@@ -642,11 +642,20 @@ def composite_tiles_xla(
     exactly the same sub-chunk granularity: contributions from sub-chunks
     past the first fully-saturated boundary (max-pixel log-T < LOG_T_STOP)
     are dropped, so twin and kernel stay bit-comparable.
+
+    Memory: `one_tile` is rematerialized (`jax.checkpoint`) — under `jax.vjp`
+    only the (F, K) tile inputs are saved and the (K, P) alpha/cumsum
+    intermediates are recomputed in the backward. Without this, a 720p
+    backward saves ~10 (512, 2048) f32 arrays per tile x 450 tiles x
+    n_devices and OOMs the host (the round-2 `dryrun_multichip` rc-137 at
+    127 GB RSS). The early-stop gate reuses ONE alpha pass (stop-gradient
+    cumsum over the same alpha), not a second `_chunk_alpha` call.
     """
     T, F, K = tile_feats.shape
     P = tile_h * tile_w
     sub = sub_chunk or chunk
 
+    @jax.checkpoint
     def one_tile(args):
         cf, count, tile_idx = args  # (F, K), (), ()
         px, py = _pixel_coords(tile_idx, tiles_x, tile_h, tile_w)
@@ -656,17 +665,16 @@ def composite_tiles_xla(
             perm = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
             cf = cf[:, perm]
         slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-        count_eff = count
+        alpha, _, _, _, _ = _chunk_alpha(cf, px, py, slot < count)
         if early_stop:
-            a0, _, _, _, _ = _chunk_alpha(cf, px, py, slot < count)
+            a0 = jax.lax.stop_gradient(alpha)
             cum0 = jnp.cumsum(jnp.log1p(-a0), axis=0)
-            b = jax.lax.stop_gradient(cum0[sub - 1::sub]).max(axis=1)
+            b = cum0[sub - 1::sub].max(axis=1)
             sat = b < LOG_T_STOP  # (K//sub,)
             nproc = jnp.where(sat.any(), jnp.argmax(sat) + 1, K // sub)
             nproc = jnp.minimum(nproc, -(-count // sub))
             count_eff = jnp.minimum(count, nproc * sub)
-        smask = slot < count_eff
-        alpha, _, _, _, _ = _chunk_alpha(cf, px, py, smask)
+            alpha = jnp.where(slot < count_eff, alpha, 0.0)
         l = jnp.log1p(-alpha)
         cum = jnp.cumsum(l, axis=0)
         w = alpha * jnp.exp(cum - l)
@@ -679,6 +687,6 @@ def composite_tiles_xla(
         jnp.arange(T, dtype=jnp.int32) if tile_ids is None else tile_ids
     )
     accum, logt = jax.lax.map(
-        one_tile, (tile_feats, counts, tile_idxs), batch_size=min(T, 64)
+        one_tile, (tile_feats, counts, tile_idxs), batch_size=min(T, 32)
     )
     return accum, logt

@@ -74,12 +74,15 @@ def bench_raster_scan(n, scan_len=20, iters=5):
     executable — how the production tracking loop actually runs
     (`gsdx/track/trainer.py` scan-compiles iterations), removing the
     per-dispatch tunnel overhead (~1-1.7 ms/dispatch on this box) that the
-    per-dispatch headline includes."""
+    per-dispatch headline includes. Mirrors the t>0 block-frozen bin reuse
+    (`TrackingConfig.bin_refresh`, default 40): tile bins are computed ONCE
+    per `scan_len`-step block (with the production 4 px coverage margin) —
+    conservative vs production, which refreshes every 40 steps."""
     import jax
     import jax.numpy as jnp
 
     from gsdx.core.cameras import make_camera
-    from gsdx.render.rasterize import RasterizeConfig, rasterize
+    from gsdx.render.rasterize import RasterizeConfig, compute_bins, rasterize
 
     rng = np.random.default_rng(0)
     k = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
@@ -89,18 +92,21 @@ def bench_raster_scan(n, scan_len=20, iters=5):
     args = tuple(jnp.asarray(x) for x in _scene(rng, n))
     target = jnp.zeros((3, H, W))
 
-    def loss(means3d, *rest):
-        out = rasterize(means3d, *rest, cam, cfg)
+    def loss(means3d, *rest, bins):
+        out = rasterize(means3d, *rest, cam, cfg, bins=bins)
         return jnp.abs(out.im - target).mean()
 
     @jax.jit
     def scan_steps(args):
+        bins = compute_bins(args[0], args[1], args[2], cam, cfg,
+                            margin_px=4.0)
+
         def body(carry, _):
             # loop-carried perturbation: keeps iterations data-dependent so
             # XLA cannot hoist/CSE the identical step out of the scan
             a0 = args[0] + carry * 1e-12
             v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
-                a0, *args[1:])
+                a0, *args[1:], bins=bins)
             return v, g[0][0, 0]
         carry, outs = jax.lax.scan(body, 0.0, None, length=scan_len)
         return carry, outs
@@ -233,7 +239,7 @@ def main():
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / CUDA_REFERENCE_MPIX_S, 4),
-        "headline_mode": ("scan_amortized_20step"
+        "headline_mode": ("scan_amortized_20step_frozenbins"
                           if isinstance(scan_amortized, float)
                           else "per_dispatch"),
         "per_dispatch_mpix_s": per_dispatch,

@@ -304,6 +304,55 @@ def _assemble_image(tiled: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     return x[:, : grid.height, : grid.width]
 
 
+def resolve_binning(cfg: RasterizeConfig, n: int) -> RasterizeConfig:
+    """Pin `binning="auto"` / `sub_chunk=0` to their static-N choices."""
+    binning = cfg.binning
+    if binning == "auto":
+        binning = "mask" if n <= BINNING_AUTO_N else "nosort"
+    sub_chunk = cfg.sub_chunk or (64 if n <= BINNING_AUTO_N else 128)
+    return cfg._replace(binning=binning, sub_chunk=sub_chunk)
+
+
+def compute_bins(
+    means3d: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    camera: Camera,
+    cfg: RasterizeConfig,
+    live: jnp.ndarray | None = None,
+    margin_px: float = 0.0,
+) -> TileBins:
+    """Project + bin only, for callers that reuse bins across several
+    optimizer steps (`bin_refresh` in the tracking loop): per-step Gaussian
+    motion is a fraction of a pixel, so tile coverage goes stale far slower
+    than depth order — which the `"nosort"` compositor re-sorts in-kernel
+    from CURRENT depths every step. Gradients stay exact for the
+    stale-coverage forward (the routing tables are the ones the forward
+    used). ``margin_px`` inflates the binning radius so coverage stays a
+    SUPERSET of the true coverage for any drift up to that many pixels —
+    extra covers evaluate to alpha ~ 0, so reused bins change the output
+    only through K-capacity pressure, not through dropped contributions.
+    Always bins in `"nosort"` form (original-order lists + inverse map below
+    `BWD_INVMAP_MAX_N`) — the only form whose tables stay valid under
+    changing depths.
+    """
+    n = means3d.shape[0]
+    grid = TileGrid(height=camera.height, width=camera.width,
+                    tile_h=cfg.tile_h, tile_w=cfg.tile_w)
+    proj = project_gaussians(means3d, quats, scales, camera, live=live)
+    radius = proj.radius
+    if margin_px:
+        radius = jnp.where(radius > 0, radius + margin_px, radius)
+    return bin_gaussians_unsorted(
+        jax.lax.stop_gradient(proj.mean2d),
+        jax.lax.stop_gradient(radius),
+        jax.lax.stop_gradient(proj.depth),
+        proj.mask, grid,
+        max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+        with_inverse=n <= BWD_INVMAP_MAX_N,
+    )
+
+
 def rasterize(
     means3d: jnp.ndarray,
     quats: jnp.ndarray,
@@ -344,22 +393,23 @@ def rasterize(
         proj.mask,
         grid,
     )
+    if bins is not None and cfg.binning == "auto":
+        # Caller-supplied bins (reuse across passes/steps) are built by
+        # `compute_bins` in original-order "nosort" form — the compositor's
+        # in-kernel depth sort keeps them valid under changing depths.
+        cfg = cfg._replace(binning="nosort")
+    # Measured crossovers (benchmarks/bench_unsorted_ab.py, TPU v5e,
+    # fwd+bwd 720p): mask compare-sum wins below ~8k (5k: 6.2 vs 7.8
+    # nosort); above it the sort-free nosort path (original-order
+    # binning + in-kernel depth-rank sort) beats the pair sort by
+    # 13-25% (16k: 9.1 vs 10.4; 65k: 12.3 vs 15.7; 65k-cap/15k-live
+    # 6ch: 12.4 vs 15.3). Trade-off above: K-overflow tiles truncate to
+    # approximately (bucket-resolution) nearest-K instead of exactly
+    # nearest-K — see `bin_gaussians_unsorted`.
+    cfg = resolve_binning(cfg, n)
     binning = cfg.binning
-    if binning == "auto":
-        # Measured crossovers (benchmarks/bench_unsorted_ab.py, TPU v5e,
-        # fwd+bwd 720p): mask compare-sum wins below ~8k (5k: 6.2 vs 7.8
-        # nosort); above it the sort-free nosort path (original-order
-        # binning + in-kernel depth-rank sort) beats the pair sort by
-        # 13-25% (16k: 9.1 vs 10.4; 65k: 12.3 vs 15.7; 65k-cap/15k-live
-        # 6ch: 12.4 vs 15.3). Trade-off above: K-overflow tiles truncate to
-        # approximately (bucket-resolution) nearest-K instead of exactly
-        # nearest-K — see `bin_gaussians_unsorted`.
-        binning = "mask" if n <= BINNING_AUTO_N else "nosort"
-    sub_chunk = cfg.sub_chunk or (64 if n <= BINNING_AUTO_N else 128)
-    # pin resolved modes (jit cache key)
-    cfg = cfg._replace(binning=binning, sub_chunk=sub_chunk)
     if bins is not None:
-        pass  # caller-supplied bins (reuse across passes / profiling)
+        pass  # caller-supplied bins (reuse across passes / steps)
     elif binning in ("unsorted", "nosort"):
         # No global depth argsort anywhere: bin over the original gaussian
         # axis. "unsorted" restores front-to-back order with a batched

@@ -188,10 +188,13 @@ def tracking_loss(
     raster_cfg: RasterizeConfig,
     with_seg: bool = True,
     fused: bool = True,
+    bins=None,
 ):
     """Total tracking loss for one camera view (`train_utils.py:167-246`).
 
     mean2d_dummy: (N, 2) zeros; grad w.r.t. it feeds densification stats.
+    bins: optional precomputed TileBins for this camera (block-frozen bin
+    reuse, see `gsdx.render.rasterize.compute_bins`).
 
     fused=True renders rgb and seg targets as 6 channels in ONE rasterizer
     pass (identical projection/binning are shared), halving the dominant
@@ -219,6 +222,7 @@ def tracking_loss(
             raster_cfg,
             live=params.live,
             mean2d_offset=mean2d_dummy,
+            bins=bins,
         )
         im = jnp.exp(params.cam_m[cid])[:, None, None] * out.im[:3] + (
             params.cam_c[cid][:, None, None]
@@ -241,6 +245,7 @@ def tracking_loss(
             raster_cfg,
             live=params.live,
             mean2d_offset=mean2d_dummy,
+            bins=bins,
         )
         # Per-camera affine color correction (`train_utils.py:182`).
         im = jnp.exp(params.cam_m[cid])[:, None, None] * out.im + params.cam_c[
@@ -259,6 +264,7 @@ def tracking_loss(
                 camera,
                 raster_cfg,
                 live=params.live,
+                bins=bins,
             )
             losses["seg"] = 0.8 * l1_loss(seg_out.im, target_seg) + 0.2 * (
                 1.0 - calc_ssim(seg_out.im, target_seg)

@@ -9,6 +9,7 @@ GNN rollout, skinning, rendering, video + .splat export) produces artifacts.
 import os
 
 import numpy as np
+import pytest
 
 from gsdx.apps.demo import DemoSession
 
@@ -42,6 +43,9 @@ dataset_config:
       max_tool: 1
       max_nR: 96
 """
+
+
+pytestmark = pytest.mark.slow  # heavyweight e2e (default tier excludes; --runslow)
 
 
 def test_demo_session_end_to_end(tmp_path):

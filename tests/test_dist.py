@@ -65,6 +65,7 @@ def test_dp_train_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_camera_sharded_tracking_grads_match(rng):
     # 8 devices / 4 cameras is uneven; use a 4-device submesh
     mesh = get_mesh([("data", 4)], devices=jax.devices()[:4])
@@ -114,6 +115,7 @@ def test_camera_sharded_tracking_grads_match(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_camera_sharded_tracking_t1_grads_match(rng):
     """The t>0 loss branch (rigid/rot/iso/floor/bg tail) under shard_map
     matches the per-camera mean of single-device losses and grads."""

@@ -15,6 +15,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 from gsdx.dynamics.model import DynamicsPredictor
 from gsdx.dynamics.train import init_params, make_train_step
@@ -23,6 +24,9 @@ from gsdx.graph.dataset import GraphSampler
 from test_dynamics import DATA_CFG, MODEL_CFG, TRAIN_CFG, synth_episodes
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+pytestmark = pytest.mark.slow  # heavyweight e2e (default tier excludes; --runslow)
 
 
 def _free_port() -> int:

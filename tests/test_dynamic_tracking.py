@@ -9,6 +9,7 @@ known amount per timestep; the tracked centroid must follow.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsdx.core.gaussians import init_gaussian_params
 from gsdx.kernels.knn import knn
@@ -19,6 +20,9 @@ from gsdx.track.trainer import TrackingConfig, track_sequence
 from test_tracking import CFG_RASTER, make_cams, make_gt_scene, render_targets
 
 STEP = np.array([0.02, 0.0, 0.0], np.float32)
+
+
+pytestmark = pytest.mark.slow  # heavyweight e2e (default tier excludes; --runslow)
 
 
 def test_tracking_follows_motion(rng, tmp_path):

@@ -11,8 +11,12 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from test_demo_e2e import TINY_CFG
+
+
+pytestmark = pytest.mark.slow  # heavyweight e2e (default tier excludes; --runslow)
 
 
 def _fake_env(seed=0):

@@ -20,6 +20,9 @@ from test_tracking import CFG_RASTER, make_cams, make_gt_scene, render_targets
 H, W = 32, 64
 
 
+pytestmark = pytest.mark.slow  # heavyweight e2e (default tier excludes; --runslow)
+
+
 @pytest.fixture
 def episode_dir(tmp_path, rng):
     from PIL import Image

@@ -54,16 +54,40 @@ class Encoder(nn.Module):
 
 
 class Propagator(nn.Module):
-    """Linear + residual + ReLU (`src/gnn/model.py:26-47`)."""
+    """Linear(+residual)+ReLU over a concat of segments (`src/gnn/model.py:26-47`).
 
+    The kernel keeps the (sum(sizes), out) layout nn.Dense would have on the
+    concatenated input, but is row-partitioned so callers can apply segments
+    separately via ``seg``: hoisting the loop-invariant encoder segments out
+    of the pstep loop and pushing the 512x512 projections to the NODE side of
+    the one-hot Rr/Rs selections (exact — one-hot row selection commutes with
+    right-multiplication) cuts the message-passing FLOPs ~2x and avoids
+    materializing the (B, n_rel, 3*nf) concat each pstep (the dominant HBM
+    traffic in the MPPI rollout).
+    """
+
+    sizes: tuple
     out: int
 
-    @nn.compact
-    def __call__(self, x, res=None):
-        x = nn.Dense(self.out)(x)
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (sum(self.sizes), self.out),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.out,))
+
+    def seg(self, i: int, x):
+        """x @ (segment-i rows of the kernel), no bias."""
+        lo = sum(self.sizes[:i])
+        return x @ self.kernel[lo : lo + self.sizes[i]]
+
+    def __call__(self, xs, res=None):
+        y = self.bias
+        for i, x in enumerate(xs):
+            y = y + self.seg(i, x)
         if res is not None:
-            x = x + res
-        return nn.relu(x)
+            y = y + res
+        return nn.relu(y)
 
 
 class ParticlePredictor(nn.Module):
@@ -142,19 +166,27 @@ class DynamicsPredictor(nn.Module):
         relation_encode = Encoder(cfg.nf_relation, cfg.nf_effect,
                                   name="relation_encoder")(rel_inputs)
 
-        relation_prop = Propagator(cfg.nf_effect, name="relation_propagator")
-        particle_prop = Propagator(cfg.nf_effect, name="particle_propagator")
+        nf = cfg.nf_effect
+        relation_prop = Propagator((nf, nf, nf), nf, name="relation_propagator")
+        particle_prop = Propagator((nf, nf), nf, name="particle_propagator")
+
+        # Hoist the loop-invariant encoder projections out of the pstep loop,
+        # and project effects on the NODE side (N ~ 100 rows) before the
+        # one-hot Rr/Rs edge selections (n_rel ~ 500 rows) — exact, since
+        # one-hot row selection commutes with right-multiplication. This is
+        # the reference's `model.py:212-237` message passing with ~2x fewer
+        # FLOPs and without the (B, n_rel, 3*nf) concat per pstep.
+        rel_pre = relation_prop.seg(0, relation_encode) + relation_prop.bias
+        node_pre = particle_prop.seg(0, particle_encode) + particle_prop.bias
 
         effect = particle_encode
         for _ in range(cfg.pstep):
-            effect_r = Rr @ effect
-            effect_s = Rs @ effect
-            effect_rel = relation_prop(
-                jnp.concatenate([relation_encode, effect_r, effect_s], axis=2)
-            )
+            eff_wr = relation_prop.seg(1, effect)  # (B, N, nf)
+            eff_ws = relation_prop.seg(2, effect)
+            effect_rel = nn.relu(rel_pre + Rr @ eff_wr + Rs @ eff_ws)
             agg = Rr_t @ effect_rel
-            effect = particle_prop(
-                jnp.concatenate([particle_encode, agg], axis=2), res=effect
+            effect = nn.relu(
+                node_pre + particle_prop.seg(1, agg) + effect
             )
 
         pred_motion = ParticlePredictor(

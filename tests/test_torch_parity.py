@@ -124,9 +124,9 @@ def test_flax_matches_torch_reference(rng, state_dim, motion_dim):
     _copy_mlp3(p["non_rigid_predictor"], tmodel.non_rigid_predictor)
     for name, lin in [("particle_propagator", tmodel.particle_propagator),
                       ("relation_propagator", tmodel.relation_propagator)]:
-        p[name]["Dense_0"]["kernel"] = jnp.asarray(
+        p[name]["kernel"] = jnp.asarray(
             lin.weight.detach().numpy().T)
-        p[name]["Dense_0"]["bias"] = jnp.asarray(lin.bias.detach().numpy())
+        p[name]["bias"] = jnp.asarray(lin.bias.detach().numpy())
 
     B, N, n_p, nR = 2, 21, 20, 80
     state = rng.normal(scale=0.1, size=(B, 3, N, 3)).astype(np.float32)

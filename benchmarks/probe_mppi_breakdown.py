@@ -99,7 +99,8 @@ def make_rollout_variant(edge_mode="full", dtype=jnp.float32):
                 Rr, Rs = edges(states[:, -1].astype(jnp.float32))
                 Rr, Rs = Rr.astype(dtype), Rs.astype(dtype)
             if edge_mode == "edges_only":
-                pred2 = states[:, -1, :n] + 1e-4 * (Rr.sum(1) + Rs.sum(1))[:, :n]
+                pred2 = (states[:, -1, :n]
+                         + 1e-4 * (Rr.sum(1) + Rs.sum(1))[:, :n, None])
             else:
                 pred2, _ = model.apply(p, states, attrs, Rr, Rs,
                                        p_instance, action)

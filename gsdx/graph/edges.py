@@ -100,6 +100,40 @@ def construct_edges(
     return rr_tf.T, Rs
 
 
+@functools.partial(jax.jit, static_argnames=("n_obj", "topk", "max_nR", "connect_all"))
+def construct_edge_indices(
+    states, adj_thresh, mask, tool_mask, n_obj, topk=10, max_nR=500,
+    connect_all=False,
+):
+    """Index form of `construct_edges`: (recv_idx, send_idx) int32 (max_nR,),
+    -1 on unused slots. Same packing (row-major, consecutive receiver slot
+    ranges); `one_hot(recv_idx) == Rr` and `one_hot(send_idx) == Rs` exactly.
+    Used by the fused-rollout GNN kernel, which rebuilds the one-hots in
+    VMEM — the (max_nR, N) HBM matrices never exist."""
+    Rr, Rs = construct_edges(states, adj_thresh, mask, tool_mask, n_obj=n_obj,
+                             topk=topk, max_nR=max_nR, connect_all=connect_all)
+    nodes = jnp.arange(states.shape[0], dtype=jnp.float32)
+    valid = jnp.sum(Rr, axis=1) > 0.0  # zero rows = unused slots
+    # each row has exactly one set bit -> exact small-int dot
+    recv = jnp.dot(Rr, nodes, preferred_element_type=jnp.float32)
+    send = jnp.dot(Rs, nodes, preferred_element_type=jnp.float32)
+    recv = jnp.where(valid, recv, -1.0).astype(jnp.int32)
+    send = jnp.where(valid, send, -1.0).astype(jnp.int32)
+    return recv, send
+
+
+def construct_edge_indices_batch(states, adj_thresh, mask, tool_mask, n_obj,
+                                 topk=10, max_nR=500, connect_all=False):
+    """vmapped batch variant of `construct_edge_indices`."""
+    B = states.shape[0]
+    adj_thresh = jnp.broadcast_to(jnp.asarray(adj_thresh, jnp.float32), (B,))
+    fn = functools.partial(
+        construct_edge_indices, n_obj=n_obj, topk=topk, max_nR=max_nR,
+        connect_all=connect_all,
+    )
+    return jax.vmap(fn)(states, adj_thresh, mask, tool_mask)
+
+
 def construct_edges_batch(states, adj_thresh, mask, tool_mask, n_obj, topk=10,
                           max_nR=500, connect_all=False):
     """vmapped batch variant (`construct_edges_from_states_batch`,

@@ -148,3 +148,39 @@ def test_fps_action_sampling():
     # FPS spread: samples are not duplicated (xy grid only has 2x2 cells at
     # this grid_size, so uniqueness is over the full 4D action)
     assert len(np.unique(acts[:, 0], axis=0)) > 16
+
+
+def test_chunked_rollout_matches_plain(rng):
+    """Repeat-sorted chunking is a pure sample permutation: identical math,
+    but XLA picks shape-dependent gemm accumulation (B=1 vs B=16 already
+    differs ~3e-6 on CPU), and an adjacency top-k flip can amplify one
+    sample to ~1e-3 through the rollout. Assert tight closeness + that the
+    chunked path itself is deterministic."""
+    model_cfg = ModelConfig(nf_particle=32, nf_relation=32, nf_effect=32,
+                            n_his=2)
+    data_cfg = GraphDatasetConfig(n_his=2, max_nobj=12, max_nR=64, topk=3)
+    model = DynamicsPredictor(model_cfg)
+    params = init_params(model, TrainConfig(n_his=2), data_cfg,
+                         jax.random.PRNGKey(0))
+    base = dict(n_his=2, max_nobj=12, max_nR=64, topk=3, adj_thresh=0.3,
+                max_repeat=8)
+    roll_plain = jax.jit(make_batched_rollout(
+        model, RolloutSpec(**base, sort_chunks=1)))
+    roll_chunk = jax.jit(make_batched_rollout(
+        model, RolloutSpec(**base, sort_chunks=4)))
+    state = jnp.asarray(rng.normal(scale=0.05, size=(12, 3)).astype(np.float32))
+    acts = jnp.asarray(
+        np.concatenate([
+            rng.uniform(-0.2, 0.2, size=(16, 1, 2)),
+            rng.uniform(-np.pi, np.pi, size=(16, 1, 1)),
+            rng.uniform(3, 8, size=(16, 1, 1)),  # varied repeat counts
+        ], axis=-1).astype(np.float32))
+    a = roll_plain(params, state, acts)
+    b = roll_chunk(params, state, acts)
+    np.testing.assert_allclose(np.asarray(a["state_seqs"]),
+                               np.asarray(b["state_seqs"]), atol=5e-3, rtol=0)
+    np.testing.assert_array_equal(np.asarray(a["action_seqs"]),
+                                  np.asarray(b["action_seqs"]))
+    b2 = roll_chunk(params, state, acts)
+    np.testing.assert_array_equal(np.asarray(b["state_seqs"]),
+                                  np.asarray(b2["state_seqs"]))

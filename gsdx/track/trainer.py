@@ -55,6 +55,16 @@ class TrackingConfig(NamedTuple):
     # disables (bins rebuilt inside rasterize every iteration, t=0 behavior).
     bin_refresh: int = 40
     bin_margin_px: float = 4.0
+    # Cap on optimization iterations per XLA dispatch: the axon-tunneled TPU
+    # worker is killed on single dispatches running longer than ~2-4 min
+    # (reproduced: a 10000-iter 720p t=0 fit dies mid-execution; the same
+    # fit split into <=2500-iter segments completes). Long fits run as a
+    # python loop of equal segments carrying (params, opt, variables);
+    # per-iteration math is unchanged (absolute iteration indices are
+    # threaded through for the densify schedule); only the densify PRNG
+    # stream differs from the single-dispatch form when segmentation kicks
+    # in. <= max_dispatch_iters fits are bit-identical to before.
+    max_dispatch_iters: int = 2500
 
 
 def _index_pytree(tree, i):
@@ -92,10 +102,22 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
         )
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-    refresh = 1 if is_initial else _refresh_divisor(num_iters, cfg.bin_refresh)
+
+    # Split long fits into equal <= max_dispatch_iters segments (see
+    # TrackingConfig.max_dispatch_iters: the tunneled worker kills
+    # multi-minute single dispatches). nseg == 1 is bit-identical to the
+    # unsegmented form.
+    nseg = 1
+    if cfg.max_dispatch_iters and num_iters > cfg.max_dispatch_iters:
+        nseg = -(-num_iters // cfg.max_dispatch_iters)
+        while num_iters % nseg:
+            nseg += 1
+    seg_iters = num_iters // nseg
+    refresh = 1 if is_initial else _refresh_divisor(seg_iters, cfg.bin_refresh)
 
     @jax.jit
-    def fit(params, opt_state, variables, lrs, cams, ims, segs, cam_order, key):
+    def fit_seg(params, opt_state, variables, lrs, cams, ims, segs,
+                cam_order, key, iter_offset):
         num_cams = ims.shape[0]
 
         def step(bins_all, carry, inputs):
@@ -139,8 +161,8 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
             out = {"loss": loss, "psnr": aux.psnr, "num_pts": params.num_live}
             return (params, opt_state, variables), out
 
-        keys = jax.random.split(key, num_iters)
-        iters = jnp.arange(num_iters, dtype=jnp.int32)
+        keys = jax.random.split(key, seg_iters)
+        iters = iter_offset + jnp.arange(seg_iters, dtype=jnp.int32)
 
         if refresh == 1:
             (params, opt_state, variables), logs = jax.lax.scan(
@@ -172,7 +194,7 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
                 lambda c, x: step(bins_all, c, x), carry, inputs
             )
 
-        nb = num_iters // refresh
+        nb = seg_iters // refresh
         blocked = jax.tree.map(
             lambda x: x.reshape((nb, refresh) + x.shape[1:]),
             (cam_order, iters, keys),
@@ -181,8 +203,29 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
             block, (params, opt_state, variables), blocked
         )
         logs = jax.tree.map(
-            lambda x: x.reshape((num_iters,) + x.shape[2:]), logs
+            lambda x: x.reshape((seg_iters,) + x.shape[2:]), logs
         )
+        return params, opt_state, variables, logs
+
+    if nseg == 1:
+        def fit(params, opt_state, variables, lrs, cams, ims, segs,
+                cam_order, key):
+            return fit_seg(params, opt_state, variables, lrs, cams, ims,
+                           segs, cam_order, key, jnp.int32(0))
+        return fit
+
+    def fit(params, opt_state, variables, lrs, cams, ims, segs, cam_order,
+            key):
+        seg_keys = jax.random.split(key, nseg)
+        logs_all = []
+        for s in range(nseg):
+            params, opt_state, variables, logs = fit_seg(
+                params, opt_state, variables, lrs, cams, ims, segs,
+                cam_order[s * seg_iters : (s + 1) * seg_iters], seg_keys[s],
+                jnp.int32(s * seg_iters),
+            )
+            logs_all.append(jax.tree.map(jnp.asarray, logs))
+        logs = jax.tree.map(lambda *x: jnp.concatenate(x), *logs_all)
         return params, opt_state, variables, logs
 
     return fit

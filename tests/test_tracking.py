@@ -124,3 +124,35 @@ def test_fit_initial_timestep_improves_psnr(rng):
     np.testing.assert_array_equal(
         np.asarray(params5.log_scales), np.asarray(params4.log_scales)
     )
+
+
+def test_segmented_fit_matches_single_dispatch(rng):
+    """max_dispatch_iters segmentation: the t>0 fit uses no PRNG, so a
+    segmented fit must be BIT-identical to the single-dispatch one."""
+    pt_cld = make_gt_scene(rng)
+    cams = make_cams()
+    ims, segs = render_targets(pt_cld, cams)
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=64)
+    variables = init_tracking_variables(params.capacity, num_knn=8,
+                                        scene_radius=1.0)
+    variables = initialize_post_first_timestep(params, variables, num_knn=8)
+    adam = GroupAdam()
+    lrs = tracking_lrs(1.0, post_first_timestep=True)
+    order = camera_order(24, 3, np.random.default_rng(0))
+    key = jax.random.PRNGKey(0)
+
+    outs = []
+    for max_disp in (0, 8):  # 0 = unsegmented; 8 -> 3 segments
+        cfg = TrackingConfig(num_knn=8, raster=CFG_RASTER, bin_refresh=4,
+                             max_dispatch_iters=max_disp)
+        fit = make_fit_timestep(cfg, is_initial=False, num_iters=24)
+        p, _, _, logs = fit(params, adam.init(params), variables, lrs, cams,
+                            ims, segs, order, key)
+        outs.append((p, logs))
+    (p_a, logs_a), (p_b, logs_b) = outs
+    np.testing.assert_array_equal(np.asarray(p_a.means3d),
+                                  np.asarray(p_b.means3d))
+    np.testing.assert_array_equal(np.asarray(logs_a["loss"]),
+                                  np.asarray(logs_b["loss"]))
+    assert logs_b["loss"].shape == (24,)

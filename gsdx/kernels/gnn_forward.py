@@ -151,17 +151,29 @@ def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
     st = st_ref[0]  # (N_PAD, 3*n_his)
     g = g_ref[0]  # (N_PAD, 1)
 
-    # in-VMEM one-hot edge matrices from index vectors (-1 -> zero row)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (recv_ref.shape[1], N_PAD), 1)
-    ohr = (recv_ref[0][:, None] == iota_n).astype(jnp.float32)  # (E, N_PAD)
-    ohs = (send_ref[0][:, None] == iota_n).astype(jnp.float32)
+    # In-VMEM one-hot edge matrices from index vectors (-1 -> zero row),
+    # built TRANSPOSED: indices arrive on lanes as (1, E), so comparing
+    # against a sublane iota yields Rr^T (N_PAD, E) with no vector
+    # transpose; selections contract dim 0 (MXU-native) and the
+    # aggregation consumes Rr^T directly.
+    E = recv_ref.shape[2]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, E), 0)
+    ohr_t = (jnp.broadcast_to(recv_ref[0], (N_PAD, E)) == iota_n
+             ).astype(jnp.float32)
+    ohs_t = (jnp.broadcast_to(send_ref[0], (N_PAD, E)) == iota_n
+             ).astype(jnp.float32)
+
+    def sel(oh_t, x):  # (Rr @ x) as oh_t^T-contraction: (E, x.shape[1])
+        return jax.lax.dot_general(
+            oh_t, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     # relation encoder layer 1, node-side projections
     nr = dot(attrs, _f32(w1r_attr_r[:])) + dot(st, _f32(w1r_dist[:]))
     ns = dot(attrs, _f32(w1r_attr_s[:])) - dot(st, _f32(w1r_dist[:]))
-    gdiff = jnp.abs(dot(ohr, g) - dot(ohs, g))  # (E, 1)
+    gdiff = jnp.abs(sel(ohr_t, g) - sel(ohs_t, g))  # (E, 1)
     h = jnp.maximum(
-        dot(ohr, nr) + dot(ohs, ns) + gdiff * _f32(w1r_g[0])[None, :]
+        sel(ohr_t, nr) + sel(ohs_t, ns) + gdiff * _f32(w1r_g[0])[None, :]
         + b[0][None, :], 0.0)
     h = jnp.maximum(dot(h, _f32(w2r[:])) + b[1][None, :], 0.0)
     enc_r = jnp.maximum(dot(h, _f32(w3r[:])) + b[2][None, :], 0.0)
@@ -179,10 +191,8 @@ def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
     for _ in range(pstep):
         ewr = dot(effect, _f32(wr1[:]))  # (N_PAD, F)
         ews = dot(effect, _f32(wr2[:]))
-        erel = jnp.maximum(rel_pre + dot(ohr, ewr) + dot(ohs, ews), 0.0)
-        agg = jax.lax.dot_general(  # OHr^T @ erel without materializing ^T
-            ohr, erel, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        erel = jnp.maximum(rel_pre + sel(ohr_t, ewr) + sel(ohs_t, ews), 0.0)
+        agg = dot(ohr_t, erel)  # Rr^T @ erel, (N_PAD, F)
         effect = jnp.maximum(node_pre + dot(agg, _f32(wp1[:])) + effect, 0.0)
 
     hh = jnp.maximum(dot(effect, _f32(wh1[:])) + b[8][None, :], 0.0)
@@ -202,12 +212,14 @@ def fused_gnn_forward(packed: PackedGNN, attrs, action, state_t, g,
         (B, N_PAD, 3*n_his) history-major node positions; g: (B, N_PAD, 1)
         instance column (0 on tool/pad slots).
       recv_idx/send_idx: (B, E) int32 node indices, -1 for unused slots
-        (E a multiple of 8; 512 for the production max_nR=500 budget).
+        (E a multiple of 8; 504 for the production max_nR=500 budget).
     Returns (B, N_PAD, 8) f32 raw motion (columns 0:3 meaningful).
     """
     B, n_pad, _ = attrs.shape
     assert n_pad == N_PAD, f"pad nodes to {N_PAD}, got {n_pad}"
     E = recv_idx.shape[1]
+    recv_idx = recv_idx.reshape(B, 1, E)  # lane-major for the kernel
+    send_idx = send_idx.reshape(B, 1, E)
 
     def per_sample(i):  # noqa: ANN001 — BlockSpec index map
         return (i, 0, 0)
@@ -231,8 +243,8 @@ def fused_gnn_forward(packed: PackedGNN, attrs, action, state_t, g,
             sample_spec((N_PAD, action.shape[2])),
             sample_spec((N_PAD, state_t.shape[2])),
             sample_spec((N_PAD, 1)),
-            pl.BlockSpec((1, E), lambda i: (i, 0)),
-            pl.BlockSpec((1, E), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0)),
             *weight_specs,
         ],
         out_specs=sample_spec((N_PAD, 8)),

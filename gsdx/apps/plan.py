@@ -152,8 +152,8 @@ def main(argv=None):
     bbox = jnp.asarray(WORKSPACE_BBOX)
     tgt = jnp.asarray(target_state)
 
-    def model_rollout(state, acts):
-        return rollout_raw(gnn_params, state, acts)
+    def model_rollout(state, acts, needs_grad=False):
+        return rollout_raw(gnn_params, state, acts, needs_grad=needs_grad)
 
     def evaluate(state_seqs, act_seqs, state_cur):
         return running_cost(state_seqs, act_seqs, state_cur, tgt, bbox)

@@ -114,9 +114,14 @@ def construct_edge_indices(
                              topk=topk, max_nR=max_nR, connect_all=connect_all)
     nodes = jnp.arange(states.shape[0], dtype=jnp.float32)
     valid = jnp.sum(Rr, axis=1) > 0.0  # zero rows = unused slots
-    # each row has exactly one set bit -> exact small-int dot
-    recv = jnp.dot(Rr, nodes, preferred_element_type=jnp.float32)
-    send = jnp.dot(Rs, nodes, preferred_element_type=jnp.float32)
+    # each row has exactly one set bit -> a single product term per output,
+    # but TPU dot_general defaults to one-pass bf16 (integers > 256 are
+    # unrepresentable) — force full precision so the recovered indices are
+    # exact for any N
+    recv = jnp.dot(Rr, nodes, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    send = jnp.dot(Rs, nodes, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     recv = jnp.where(valid, recv, -1.0).astype(jnp.int32)
     send = jnp.where(valid, send, -1.0).astype(jnp.int32)
     return recv, send

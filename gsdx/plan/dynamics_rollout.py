@@ -16,7 +16,10 @@ computation in the batched matmuls is independent, and rewards/softmax/
 argmax downstream are permutation-invariant) and processed in static-size
 chunks whose fori trip count is the CHUNK max; outputs are scattered back
 in original order. With uniform repeats in [5, 20] and 8 chunks this skips
-~33% of all push-step work bit-exactly.
+~33% of all push-step work. The result is mathematically identical to the
+unchunked form up to batched-gemm accumulation order (batch-shape-dependent
+f32 summation plus adjacency top-k tie flips — NOT bitwise reproducible
+across `sort_chunks` settings; see test_chunked_rollout_matches_plain).
 """
 
 from __future__ import annotations
@@ -41,7 +44,8 @@ class RolloutSpec(NamedTuple):
     max_repeat: int = 20  # static bound on action length (upper_lim[3])
     connect_all: bool = False
     # process samples in this many repeat-sorted chunks (1 disables); each
-    # chunk's push loop runs only to the chunk's own max repeat — bit-exact.
+    # chunk's push loop runs only to the chunk's own max repeat (an exact
+    # sample permutation, modulo batched-gemm accumulation order).
     sort_chunks: int = 8
     # fused Pallas GNN forward (gsdx/kernels/gnn_forward.py): "auto" uses it
     # on TPU for the supported model family, "on"/"off" force, "interpret"
@@ -59,17 +63,22 @@ def _fused_supported(cfg) -> bool:
 
 
 def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
-    """Returns rollout(params, state (n_obj, 3), act_seqs (B, L, 4)) ->
-    {"state_seqs": (B, L, n_obj, 3), "action_seqs": decoded}."""
-    def use_fused() -> bool:
-        if spec.fused == "off":
+    """Returns rollout(params, state (n_obj, 3), act_seqs (B, L, 4), *,
+    needs_grad=False) -> {"state_seqs": (B, L, n_obj, 3), "action_seqs":
+    decoded}. Pass ``needs_grad=True`` when the caller will differentiate
+    through the rollout (the GD planner does): `pl.pallas_call` has no VJP,
+    so the fused Pallas forward must be disabled on the reverse-mode path
+    regardless of `spec.fused` (matches reference GD planning through the
+    torch graph, `src/real_world/utils/planner.py:278-310`)."""
+    def use_fused(needs_grad: bool = False) -> bool:
+        if needs_grad or spec.fused == "off":
             return False
         if not (_fused_supported(model.cfg) and spec.max_nobj + 1 <= 128):
             return False
         return (spec.fused in ("on", "interpret")
                 or jax.default_backend() == "tpu")
 
-    def roll_block(params, state, decoded, repeats):
+    def roll_block(params, state, decoded, repeats, needs_grad=False):
         """Per-sample-independent rollout of one (Bc, L, 4) action block."""
         Bc, L = decoded.shape[0], decoded.shape[1]
         n_obj = state.shape[0]
@@ -80,7 +89,7 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
         attrs = attrs.at[:, :n_obj, 0].set(1.0).at[:, n_obj:, 1].set(1.0)
         p_instance = jnp.ones((Bc, n_obj, 1))
 
-        fused = use_fused()
+        fused = use_fused(needs_grad)
         if fused:
             from gsdx.kernels.gnn_forward import (N_PAD, fused_gnn_forward,
                                                   pack_gnn_params)
@@ -172,18 +181,23 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
                 )
                 return states, pred_li
 
-            max_rep = jnp.max(repeats[:, li])
+            if needs_grad:
+                # reverse-mode needs a static trip count (dynamic-stop
+                # fori_loop has no transpose): run to the spec bound —
+                # iterations past a sample's own repeat never match its
+                # freeze mask, so the result is identical, just un-skipped.
+                upper = spec.max_repeat + 1
+            else:
+                max_rep = jnp.max(repeats[:, li])
+                upper = jnp.minimum(max_rep, spec.max_repeat) + 1
             _, pred_li = jax.lax.fori_loop(
-                1,
-                jnp.minimum(max_rep, spec.max_repeat) + 1,
-                push_step,
-                (states, pred_seq[:, li]),
+                1, upper, push_step, (states, pred_seq[:, li]),
             )
             pred_seq = pred_seq.at[:, li].set(pred_li)
 
         return pred_seq
 
-    def rollout(params, state, act_seqs):
+    def rollout(params, state, act_seqs, *, needs_grad: bool = False):
         B = act_seqs.shape[0]
         decoded, repeats = decode_action(act_seqs, spec.push_length)
         nc = spec.sort_chunks
@@ -196,12 +210,14 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
             preds = [
                 roll_block(params, state,
                            jax.lax.dynamic_slice_in_dim(dec_s, c * chunk, chunk),
-                           jax.lax.dynamic_slice_in_dim(rep_s, c * chunk, chunk))
+                           jax.lax.dynamic_slice_in_dim(rep_s, c * chunk, chunk),
+                           needs_grad=needs_grad)
                 for c in range(nc)
             ]
             pred_seq = jnp.concatenate(preds, axis=0)[inv]
         else:
-            pred_seq = roll_block(params, state, decoded, repeats)
+            pred_seq = roll_block(params, state, decoded, repeats,
+                                  needs_grad=needs_grad)
         return {"state_seqs": pred_seq, "action_seqs": decoded}
 
     return rollout

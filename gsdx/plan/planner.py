@@ -54,6 +54,17 @@ class Planner:
         self.lower = jnp.asarray(cfg.action_lower_lim, jnp.float32)
         self.upper = jnp.asarray(cfg.action_upper_lim, jnp.float32)
         self._model_rollout = model_rollout_fn
+        # GD planning differentiates through the rollout; rollouts that take
+        # a `needs_grad` kwarg (make_batched_rollout does) are told so, which
+        # disables non-differentiable fast paths (the fused Pallas forward).
+        import inspect
+        try:
+            sig = inspect.signature(model_rollout_fn).parameters
+            self._rollout_takes_needs_grad = "needs_grad" in sig or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in sig.values()
+            )
+        except (TypeError, ValueError):
+            self._rollout_takes_needs_grad = False
         self._evaluate = evaluate_traj_fn
         self._mesh = mesh
         self._mesh_axis = mesh_axis
@@ -120,7 +131,11 @@ class Planner:
             tx = optax.adam(cfg.lr)
 
             def neg_reward(act_seqs, state_cur):
-                out = self._model_rollout(state_cur, act_seqs)
+                if self._rollout_takes_needs_grad:
+                    out = self._model_rollout(
+                        state_cur, act_seqs, needs_grad=True)
+                else:
+                    out = self._model_rollout(state_cur, act_seqs)
                 rewards = self._evaluate(
                     out["state_seqs"], out["action_seqs"], state_cur
                 )["reward_seqs"]

@@ -59,7 +59,8 @@ class TrackingConfig(NamedTuple):
     # worker is killed on single dispatches running longer than ~2-4 min
     # (reproduced: a 10000-iter 720p t=0 fit dies mid-execution; the same
     # fit split into <=2500-iter segments completes). Long fits run as a
-    # python loop of equal segments carrying (params, opt, variables);
+    # python loop of segments (last one may be shorter) carrying
+    # (params, opt, variables);
     # per-iteration math is unchanged (absolute iteration indices are
     # threaded through for the densify schedule); only the densify PRNG
     # stream differs from the single-dispatch form when segmentation kicks
@@ -103,21 +104,24 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    # Split long fits into equal <= max_dispatch_iters segments (see
+    # Split long fits into <= max_dispatch_iters segments (see
     # TrackingConfig.max_dispatch_iters: the tunneled worker kills
-    # multi-minute single dispatches). nseg == 1 is bit-identical to the
+    # multi-minute single dispatches). The last segment may be shorter
+    # (ragged tail — one extra compile, never degenerate one-iteration
+    # dispatches for awkward num_iters). nseg == 1 is bit-identical to the
     # unsegmented form.
     nseg = 1
     if cfg.max_dispatch_iters and num_iters > cfg.max_dispatch_iters:
         nseg = -(-num_iters // cfg.max_dispatch_iters)
-        while num_iters % nseg:
-            nseg += 1
-    seg_iters = num_iters // nseg
-    refresh = 1 if is_initial else _refresh_divisor(seg_iters, cfg.bin_refresh)
+    seg_iters = -(-num_iters // nseg)
+    tail_iters = num_iters - seg_iters * (nseg - 1)
 
-    @jax.jit
-    def fit_seg(params, opt_state, variables, lrs, cams, ims, segs,
-                cam_order, key, iter_offset):
+    def _make_fit_seg(seg_len: int):
+      refresh = 1 if is_initial else _refresh_divisor(seg_len, cfg.bin_refresh)
+
+      @jax.jit
+      def fit_seg(params, opt_state, variables, lrs, cams, ims, segs,
+                  cam_order, key, iter_offset):
         num_cams = ims.shape[0]
 
         def step(bins_all, carry, inputs):
@@ -161,8 +165,8 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
             out = {"loss": loss, "psnr": aux.psnr, "num_pts": params.num_live}
             return (params, opt_state, variables), out
 
-        keys = jax.random.split(key, seg_iters)
-        iters = iter_offset + jnp.arange(seg_iters, dtype=jnp.int32)
+        keys = jax.random.split(key, seg_len)
+        iters = iter_offset + jnp.arange(seg_len, dtype=jnp.int32)
 
         if refresh == 1:
             (params, opt_state, variables), logs = jax.lax.scan(
@@ -194,7 +198,7 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
                 lambda c, x: step(bins_all, c, x), carry, inputs
             )
 
-        nb = seg_iters // refresh
+        nb = seg_len // refresh
         blocked = jax.tree.map(
             lambda x: x.reshape((nb, refresh) + x.shape[1:]),
             (cam_order, iters, keys),
@@ -203,27 +207,38 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
             block, (params, opt_state, variables), blocked
         )
         logs = jax.tree.map(
-            lambda x: x.reshape((seg_iters,) + x.shape[2:]), logs
+            lambda x: x.reshape((seg_len,) + x.shape[2:]), logs
         )
         return params, opt_state, variables, logs
 
+      return fit_seg
+
     if nseg == 1:
+        fit_seg = _make_fit_seg(num_iters)
+
         def fit(params, opt_state, variables, lrs, cams, ims, segs,
                 cam_order, key):
             return fit_seg(params, opt_state, variables, lrs, cams, ims,
                            segs, cam_order, key, jnp.int32(0))
         return fit
 
+    fit_main = _make_fit_seg(seg_iters)
+    fit_tail = (fit_main if tail_iters == seg_iters
+                else _make_fit_seg(tail_iters))
+
     def fit(params, opt_state, variables, lrs, cams, ims, segs, cam_order,
             key):
         seg_keys = jax.random.split(key, nseg)
         logs_all = []
+        off = 0
         for s in range(nseg):
-            params, opt_state, variables, logs = fit_seg(
+            n = seg_iters if s < nseg - 1 else tail_iters
+            fn = fit_main if s < nseg - 1 else fit_tail
+            params, opt_state, variables, logs = fn(
                 params, opt_state, variables, lrs, cams, ims, segs,
-                cam_order[s * seg_iters : (s + 1) * seg_iters], seg_keys[s],
-                jnp.int32(s * seg_iters),
+                cam_order[off : off + n], seg_keys[s], jnp.int32(off),
             )
+            off += n
             logs_all.append(jax.tree.map(jnp.asarray, logs))
         logs = jax.tree.map(lambda *x: jnp.concatenate(x), *logs_all)
         return params, opt_state, variables, logs

@@ -137,6 +137,55 @@ def test_gd_planner_on_toy(rng):
     assert float(res["best_reward"]) > pre
 
 
+def test_gd_planner_through_gnn_fused_rollout(rng):
+    """GD planning differentiates through the batched GNN rollout; the fused
+    Pallas forward has no VJP (`pl.pallas_call` cannot be linearized), so the
+    planner must request the grad-safe path (`needs_grad=True`), which forces
+    the plain XLA forward regardless of `spec.fused`. Pre-fix this crashed
+    with "Linearization failed" whenever fused was active (TPU auto, or
+    "interpret" as here)."""
+    model = DynamicsPredictor(ModelConfig(n_his=2))  # nf 512: fused-supported
+    n_obj, max_nR = 12, 64
+    data_cfg = GraphDatasetConfig(n_his=2, max_nobj=n_obj, max_nR=max_nR,
+                                  topk=3)
+    params = init_params(model, TrainConfig(n_his=2), data_cfg,
+                         jax.random.PRNGKey(0))
+    spec = RolloutSpec(n_his=2, max_nobj=n_obj, max_nR=max_nR, topk=3,
+                       adj_thresh=0.3, max_repeat=2, sort_chunks=1,
+                       fused="interpret")
+    rollout = make_batched_rollout(model, spec)
+    state = jnp.asarray(rng.normal(scale=0.05, size=(n_obj, 3)).astype(np.float32))
+
+    # direct: reverse-mode through the grad-safe path works
+    acts = jnp.asarray(np.concatenate([
+        rng.uniform(-0.2, 0.2, size=(4, 1, 2)),
+        rng.uniform(-np.pi, np.pi, size=(4, 1, 1)),
+        rng.uniform(2, 3, size=(4, 1, 1)),
+    ], axis=-1).astype(np.float32))
+    g = jax.grad(lambda a: jnp.sum(
+        rollout(params, state, a, needs_grad=True)["state_seqs"] ** 2))(acts)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # end-to-end: the GD planner threads needs_grad through the closure
+    target = state + jnp.array([0.1, 0.0, 0.0])
+    bbox = jnp.array([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]])
+
+    def model_rollout(state_cur, act_seqs, needs_grad=False):
+        return rollout(params, state_cur, act_seqs, needs_grad=needs_grad)
+
+    def evaluate(state_seqs, action_seqs, state_cur):
+        return running_cost(state_seqs, action_seqs, state_cur, target, bbox)
+
+    cfg = MPPIConfig(n_sample=4, n_update_iter=1, planner_type="GD", lr=0.02,
+                     action_lower_lim=(-0.4, -0.4, -np.pi, 2.0),
+                     action_upper_lim=(0.4, 0.4, np.pi, 3.0))
+    planner = Planner(cfg, model_rollout, evaluate)
+    res = planner.trajectory_optimization(
+        jax.random.PRNGKey(1), state,
+        jnp.zeros((1, 4)).at[0, 3].set(2.0))
+    assert np.isfinite(float(res["best_reward"]))
+
+
 def test_fps_action_sampling():
     from gsdx.plan.actions import sample_action_seq_fps
     lower = (-0.2, -0.2, -np.pi, 5.0)

@@ -156,3 +156,38 @@ def test_segmented_fit_matches_single_dispatch(rng):
     np.testing.assert_array_equal(np.asarray(logs_a["loss"]),
                                   np.asarray(logs_b["loss"]))
     assert logs_b["loss"].shape == (24,)
+
+
+def test_ragged_segmented_fit_matches_single_dispatch(rng):
+    """num_iters with no divisor near the cap (23 prime) splits as 8+8+7 —
+    a shorter final segment, NOT degenerate one-iteration dispatches — and
+    stays bit-identical to the unsegmented fit (t>0 uses no PRNG)."""
+    pt_cld = make_gt_scene(rng)
+    cams = make_cams()
+    ims, segs = render_targets(pt_cld, cams)
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=64)
+    variables = init_tracking_variables(params.capacity, num_knn=8,
+                                        scene_radius=1.0)
+    variables = initialize_post_first_timestep(params, variables, num_knn=8)
+    adam = GroupAdam()
+    lrs = tracking_lrs(1.0, post_first_timestep=True)
+    order = camera_order(23, 3, np.random.default_rng(0))
+    key = jax.random.PRNGKey(0)
+
+    outs = []
+    # bin_refresh=1: the refresh divisor depends on segment length, so only
+    # per-iteration binning is comparable bit-for-bit across segmentations
+    for max_disp in (0, 8):  # 0 = unsegmented; 8 -> segments 8, 8, 7
+        cfg = TrackingConfig(num_knn=8, raster=CFG_RASTER, bin_refresh=1,
+                             max_dispatch_iters=max_disp)
+        fit = make_fit_timestep(cfg, is_initial=False, num_iters=23)
+        p, _, _, logs = fit(params, adam.init(params), variables, lrs, cams,
+                            ims, segs, order, key)
+        outs.append((p, logs))
+    (p_a, logs_a), (p_b, logs_b) = outs
+    np.testing.assert_array_equal(np.asarray(p_a.means3d),
+                                  np.asarray(p_b.means3d))
+    np.testing.assert_array_equal(np.asarray(logs_a["loss"]),
+                                  np.asarray(logs_b["loss"]))
+    assert logs_b["loss"].shape == (23,)

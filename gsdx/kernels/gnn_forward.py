@@ -174,18 +174,18 @@ def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
     gdiff = jnp.abs(sel(ohr_t, g) - sel(ohs_t, g))  # (E, 1)
     h = jnp.maximum(
         sel(ohr_t, nr) + sel(ohs_t, ns) + gdiff * _f32(w1r_g[0])[None, :]
-        + b[0][None, :], 0.0)
-    h = jnp.maximum(dot(h, _f32(w2r[:])) + b[1][None, :], 0.0)
-    enc_r = jnp.maximum(dot(h, _f32(w3r[:])) + b[2][None, :], 0.0)
-    rel_pre = dot(enc_r, _f32(wr0[:])) + b[3][None, :]  # (E, F)
+        + b[0:1], 0.0)
+    h = jnp.maximum(dot(h, _f32(w2r[:])) + b[1:2], 0.0)
+    enc_r = jnp.maximum(dot(h, _f32(w3r[:])) + b[2:3], 0.0)
+    rel_pre = dot(enc_r, _f32(wr0[:])) + b[3:4]  # (E, F)
 
     # particle encoder
     hp = jnp.maximum(
         dot(attrs, _f32(w1p_attr[:])) + dot(act, _f32(w1p_act[:]))
-        + b[4][None, :], 0.0)
-    hp = jnp.maximum(dot(hp, _f32(w2p[:])) + b[5][None, :], 0.0)
-    enc_p = jnp.maximum(dot(hp, _f32(w3p[:])) + b[6][None, :], 0.0)
-    node_pre = dot(enc_p, _f32(wp0[:])) + b[7][None, :]  # (N_PAD, F)
+        + b[4:5], 0.0)
+    hp = jnp.maximum(dot(hp, _f32(w2p[:])) + b[5:6], 0.0)
+    enc_p = jnp.maximum(dot(hp, _f32(w3p[:])) + b[6:7], 0.0)
+    node_pre = dot(enc_p, _f32(wp0[:])) + b[7:8]  # (N_PAD, F)
 
     effect = enc_p
     for _ in range(pstep):
@@ -195,9 +195,9 @@ def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
         agg = dot(ohr_t, erel)  # Rr^T @ erel, (N_PAD, F)
         effect = jnp.maximum(node_pre + dot(agg, _f32(wp1[:])) + effect, 0.0)
 
-    hh = jnp.maximum(dot(effect, _f32(wh1[:])) + b[8][None, :], 0.0)
-    hh = jnp.maximum(dot(hh, _f32(wh2[:])) + b[9][None, :], 0.0)
-    out_ref[0] = dot(hh, _f32(wh3[:])) + b[10][None, :8]
+    hh = jnp.maximum(dot(effect, _f32(wh1[:])) + b[8:9], 0.0)
+    hh = jnp.maximum(dot(hh, _f32(wh2[:])) + b[9:10], 0.0)
+    out_ref[0] = dot(hh, _f32(wh3[:])) + b[10:11, :8]
 
 
 @functools.partial(jax.jit, static_argnames=("pstep", "interpret"))

@@ -147,9 +147,19 @@ for t in range(1, T_STEPS):
     w = np.exp(-d2 / RADIUS**2)
     xyz_seq[t] = xyz_seq[t - 1] + STEP * w[:, None] * push_dir
 
-# --- re-render targets per frame at native res -------------------------------
+# --- re-render targets per frame at the production resolution ---------------
+# The initial fit is anchored to the real 640x480 captures; the synthesized
+# EPISODE is tracked at the production 1280x720 (`src/render/renderer.py:
+# 13-14`) through upscaled intrinsics — the flagship tracking regime.
+HP, WP = (h0, w0) if FAST else (720, 1280)
 w2cs = [rt_to_w2c(np.asarray(R), np.asarray(t)) for R, t in zip(R_list, t_list)]
-cams = [make_camera(intr_list[c], w2cs[c], width=w0, height=h0, bg=(0, 0, 0),
+kp = []
+for kmat in intr_list:
+    k = np.array(kmat, np.float32).copy()
+    k[0] *= WP / w0
+    k[1] *= HP / h0
+    kp.append(k)
+cams = [make_camera(kp[c], w2cs[c], width=WP, height=HP, bg=(0, 0, 0),
                     cam_id=c) for c in range(4)]
 cams_stack = jax.tree.map(lambda *x: jnp.stack(x), *cams)
 rcfg = RasterizeConfig()
@@ -162,8 +172,8 @@ def render6(xyz, cam):
                      jnp.asarray(fit_opa), colors6, cam, rcfg).im
 
 
-ims_seq = np.zeros((T_STEPS, 4, 3, h0, w0), np.float32)
-segs_seq = np.zeros((T_STEPS, 4, 3, h0, w0), np.float32)
+ims_seq = np.zeros((T_STEPS, 4, 3, HP, WP), np.float32)
+segs_seq = np.zeros((T_STEPS, 4, 3, HP, WP), np.float32)
 for t in range(T_STEPS):
     for c in range(4):
         im6 = np.asarray(render6(jnp.asarray(xyz_seq[t]),
@@ -225,8 +235,8 @@ with open(os.path.join(data_dir, "actions.txt"), "w") as f:
 with open(os.path.join(data_dir, "calibration_handeye_result.pkl"), "wb") as f:
     pickle.dump({"R_base2world": np.eye(3), "t_base2world": np.zeros(3)}, f)
 
-meta = {"w": w0, "h": h0,
-        "k": [[np.asarray(k).tolist() for k in intr_list]] * T_STEPS,
+meta = {"w": WP, "h": HP,
+        "k": [[np.asarray(k).tolist() for k in kp]] * T_STEPS,
         "w2c": [[w.tolist() for w in w2cs]] * T_STEPS,
         "fn": [[f"camera_{c}/color_{t:06d}.jpg" for c in range(4)]
                for t in range(T_STEPS)]}

@@ -27,10 +27,20 @@ plus one resident copy of the weights:
     operands to bf16 in one MXU pass with f32 accumulation, and bf16(w)
     upcast to f32 re-truncates to the same bf16. Activations stay f32.
 
-Shapes are padded to MXU-friendly sizes (N -> 128 nodes, E -> 512 edges);
-supported model family: the rope/cloth planning configs with state_dim=0,
-motion_dim=0, attr_dim=2, rel_group_dim=1, rel_distance_dim=3*n_his,
-action_dim=3 (`src/config/rope.yaml:12-33`).
+Shapes are padded to MXU-friendly sizes (N -> 128 or 256 nodes, E -> a
+multiple of 8); supported model families (`src/config/{rope,cloth,dog,
+sloth}.yaml`, input assembly `src/gnn/model.py:112-199`):
+
+  * rope: state_dim=0, motion_dim=0 (particle inputs attr+action);
+  * cloth/dog/sloth: state_dim=1 (z-only history) + motion_dim=3 (history
+    differences). Both are LINEAR in the history-major node state `st`, so
+    they fold into one (3*n_his, F) node-side matrix at pack time
+    (`w1p_st = S_z @ W_z + D @ W_motion`, S_z the z-row selector, D the
+    forward-difference operator) — the kernel just adds `st @ w1p_st`,
+    which is all-zero for rope.
+
+Common requirements: attr_dim=2, rel_group_dim=1, rel_distance_dim=3*n_his,
+action_dim=3, nf=512.
 """
 
 from __future__ import annotations
@@ -64,6 +74,10 @@ class PackedGNN(NamedTuple):
     w3r: jnp.ndarray  # (F, F)
     # particle encoder layer 1, split
     w1p_attr: jnp.ndarray  # (2, F)
+    # folded node-state block: S_z @ W_z + D @ W_motion (zeros for rope) —
+    # kept f32 (tiny) so the fold itself loses no precision before the
+    # kernel's own one-pass bf16 dot
+    w1p_st: jnp.ndarray  # (3*n_his, F)
     w1p_act: jnp.ndarray  # (3, F)
     w2p: jnp.ndarray  # (F, F)
     w3p: jnp.ndarray  # (F, F)
@@ -110,8 +124,32 @@ def pack_gnn_params(params, n_his: int = 3, dtype=jnp.bfloat16) -> PackedGNN:
 
     nd = 3 * n_his
     assert k1r.shape[0] == 5 + nd, (
-        f"fused kernel supports the rope family rel layout, got {k1r.shape}")
-    assert k1p.shape[0] == 5, f"expected attr(2)+action(3) inputs, {k1p.shape}"
+        f"fused kernel supports the rope-layout rel inputs, got {k1r.shape}")
+    n_state_in = 2 + n_his + 3 * (n_his - 1) + 3
+    if k1p.shape[0] == 5:  # rope: attr(2) + action(3)
+        w1p_st = jnp.zeros((nd, F), jnp.float32)
+        k1p_act = k1p[2:5]
+    elif k1p.shape[0] == n_state_in:
+        # cloth/dog/sloth: attr(2) + state_z(n_his) + motion(3*(n_his-1))
+        # + action(3) (`src/gnn/model.py:136-146`). Fold the z-selection and
+        # forward-difference operators into one (3*n_his, F) matrix over the
+        # history-major node state.
+        k1p_z = k1p[2 : 2 + n_his]  # (n_his, F)
+        k1p_mo = k1p[2 + n_his : 2 + n_his + 3 * (n_his - 1)]
+        k1p_act = k1p[n_state_in - 3 : n_state_in]
+        s_z = np.zeros((nd, n_his), np.float32)
+        for h in range(n_his):
+            s_z[3 * h + 2, h] = 1.0
+        dmat = np.zeros((nd, 3 * (n_his - 1)), np.float32)
+        for h in range(n_his - 1):
+            for dd in range(3):
+                dmat[3 * (h + 1) + dd, 3 * h + dd] += 1.0
+                dmat[3 * h + dd, 3 * h + dd] -= 1.0
+        w1p_st = (jnp.asarray(s_z) @ k1p_z.astype(jnp.float32)
+                  + jnp.asarray(dmat) @ k1p_mo.astype(jnp.float32))
+    else:
+        raise AssertionError(
+            f"unsupported particle-encoder input layout: {k1p.shape}")
 
     wh3 = jnp.zeros((F, 8), kh3.dtype).at[:, :3].set(kh3)
     biases = jnp.stack([
@@ -123,7 +161,8 @@ def pack_gnn_params(params, n_his: int = 3, dtype=jnp.bfloat16) -> PackedGNN:
         w1r_attr_r=k1r[0:2].astype(bf), w1r_attr_s=k1r[2:4].astype(bf),
         w1r_g=k1r[4:5].astype(bf), w1r_dist=k1r[5 : 5 + nd].astype(bf),
         w2r=k2r.astype(bf), w3r=k3r.astype(bf),
-        w1p_attr=k1p[0:2].astype(bf), w1p_act=k1p[2:5].astype(bf),
+        w1p_attr=k1p[0:2].astype(bf), w1p_st=w1p_st.astype(jnp.float32),
+        w1p_act=k1p_act.astype(bf),
         w2p=k2p.astype(bf), w3p=k3p.astype(bf),
         wr0=krel[0:F].astype(bf), wr1=krel[F : 2 * F].astype(bf),
         wr2=krel[2 * F : 3 * F].astype(bf),
@@ -139,8 +178,9 @@ def _f32(w):
 
 def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
                 *w_refs, out_ref, pstep: int):
-    (w1r_attr_r, w1r_attr_s, w1r_g, w1r_dist, w2r, w3r, w1p_attr, w1p_act,
-     w2p, w3p, wr0, wr1, wr2, wp0, wp1, wh1, wh2, wh3, biases) = w_refs
+    (w1r_attr_r, w1r_attr_s, w1r_g, w1r_dist, w2r, w3r, w1p_attr, w1p_st,
+     w1p_act, w2p, w3p, wr0, wr1, wr2, wp0, wp1, wh1, wh2, wh3,
+     biases) = w_refs
     b = biases[:]  # (12, F) f32
 
     def dot(a, w):
@@ -157,10 +197,11 @@ def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
     # transpose; selections contract dim 0 (MXU-native) and the
     # aggregation consumes Rr^T directly.
     E = recv_ref.shape[2]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, E), 0)
-    ohr_t = (jnp.broadcast_to(recv_ref[0], (N_PAD, E)) == iota_n
+    npad = attrs.shape[0]  # 128 or 256 node slots
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (npad, E), 0)
+    ohr_t = (jnp.broadcast_to(recv_ref[0], (npad, E)) == iota_n
              ).astype(jnp.float32)
-    ohs_t = (jnp.broadcast_to(send_ref[0], (N_PAD, E)) == iota_n
+    ohs_t = (jnp.broadcast_to(send_ref[0], (npad, E)) == iota_n
              ).astype(jnp.float32)
 
     def sel(oh_t, x):  # (Rr @ x) as oh_t^T-contraction: (E, x.shape[1])
@@ -179,10 +220,10 @@ def _gnn_kernel(attrs_ref, act_ref, st_ref, g_ref, recv_ref, send_ref,
     enc_r = jnp.maximum(dot(h, _f32(w3r[:])) + b[2:3], 0.0)
     rel_pre = dot(enc_r, _f32(wr0[:])) + b[3:4]  # (E, F)
 
-    # particle encoder
+    # particle encoder (w1p_st folds state_z + motion features; zero for rope)
     hp = jnp.maximum(
-        dot(attrs, _f32(w1p_attr[:])) + dot(act, _f32(w1p_act[:]))
-        + b[4:5], 0.0)
+        dot(attrs, _f32(w1p_attr[:])) + dot(st, w1p_st[:])
+        + dot(act, _f32(w1p_act[:])) + b[4:5], 0.0)
     hp = jnp.maximum(dot(hp, _f32(w2p[:])) + b[5:6], 0.0)
     enc_p = jnp.maximum(dot(hp, _f32(w3p[:])) + b[6:7], 0.0)
     node_pre = dot(enc_p, _f32(wp0[:])) + b[7:8]  # (N_PAD, F)
@@ -208,15 +249,16 @@ def fused_gnn_forward(packed: PackedGNN, attrs, action, state_t, g,
 
     Args:
       packed: PackedGNN weights.
-      attrs: (B, N_PAD, 2) f32; action: (B, N_PAD, 3); state_t:
-        (B, N_PAD, 3*n_his) history-major node positions; g: (B, N_PAD, 1)
+      attrs: (B, n_pad, 2) f32 with n_pad in {128, 256} (256 for the
+        cloth/sloth 150-object configs); action: (B, n_pad, 3); state_t:
+        (B, n_pad, 3*n_his) history-major node positions; g: (B, n_pad, 1)
         instance column (0 on tool/pad slots).
       recv_idx/send_idx: (B, E) int32 node indices, -1 for unused slots
         (E a multiple of 8; 504 for the production max_nR=500 budget).
-    Returns (B, N_PAD, 8) f32 raw motion (columns 0:3 meaningful).
+    Returns (B, n_pad, 8) f32 raw motion (columns 0:3 meaningful).
     """
     B, n_pad, _ = attrs.shape
-    assert n_pad == N_PAD, f"pad nodes to {N_PAD}, got {n_pad}"
+    assert n_pad in (N_PAD, 2 * N_PAD), f"pad nodes to 128/256, got {n_pad}"
     E = recv_idx.shape[1]
     recv_idx = recv_idx.reshape(B, 1, E)  # lane-major for the kernel
     send_idx = send_idx.reshape(B, 1, E)
@@ -239,16 +281,16 @@ def fused_gnn_forward(packed: PackedGNN, attrs, action, state_t, g,
         wrapped,
         grid=(B,),
         in_specs=[
-            sample_spec((N_PAD, attrs.shape[2])),
-            sample_spec((N_PAD, action.shape[2])),
-            sample_spec((N_PAD, state_t.shape[2])),
-            sample_spec((N_PAD, 1)),
+            sample_spec((n_pad, attrs.shape[2])),
+            sample_spec((n_pad, action.shape[2])),
+            sample_spec((n_pad, state_t.shape[2])),
+            sample_spec((n_pad, 1)),
             pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0)),
             *weight_specs,
         ],
-        out_specs=sample_spec((N_PAD, 8)),
-        out_shape=jax.ShapeDtypeStruct((B, N_PAD, 8), jnp.float32),
+        out_specs=sample_spec((n_pad, 8)),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, 8), jnp.float32),
         interpret=interpret,
     )(attrs, action, state_t, g, recv_idx, send_idx, *packed)
 
@@ -258,7 +300,7 @@ def gnn_forward_xla_twin(packed: PackedGNN, attrs, action, state_t, g,
     """Plain-XLA twin of the fused kernel (same math, any backend)."""
 
     def one(attrs, act, st, g, recv, send):
-        iota_n = jnp.arange(N_PAD, dtype=jnp.int32)
+        iota_n = jnp.arange(attrs.shape[0], dtype=jnp.int32)
         ohr = (recv[:, None] == iota_n[None, :]).astype(jnp.float32)
         ohs = (send[:, None] == iota_n[None, :]).astype(jnp.float32)
         b = packed.biases
@@ -277,6 +319,7 @@ def gnn_forward_xla_twin(packed: PackedGNN, attrs, action, state_t, g,
         enc_r = jax.nn.relu(dot(h, packed.w3r) + b[2][None])
         rel_pre = dot(enc_r, packed.wr0) + b[3][None]
         hp = jax.nn.relu(dot(attrs, packed.w1p_attr)
+                         + dot(st, packed.w1p_st)
                          + dot(act, packed.w1p_act) + b[4][None])
         hp = jax.nn.relu(dot(hp, packed.w2p) + b[5][None])
         enc_p = jax.nn.relu(dot(hp, packed.w3p) + b[6][None])

@@ -56,7 +56,10 @@ class RolloutSpec(NamedTuple):
 
 
 def _fused_supported(cfg) -> bool:
-    return (cfg.state_dim == 0 and cfg.motion_dim == 0 and cfg.attr_dim == 2
+    # rope (state 0/motion 0) and cloth/dog/sloth (z-state 1/motion 3 —
+    # folded into the kernel's node-state matmul, see gnn_forward docstring)
+    return ((cfg.state_dim, cfg.motion_dim) in ((0, 0), (1, 3))
+            and cfg.attr_dim == 2
             and cfg.rel_group_dim == 1 and cfg.rel_attr_dim == 2
             and cfg.rel_distance_dim == 3 and cfg.action_dim == 3
             and cfg.nf_particle == cfg.nf_relation == cfg.nf_effect == 512)
@@ -73,7 +76,7 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
     def use_fused(needs_grad: bool = False) -> bool:
         if needs_grad or spec.fused == "off":
             return False
-        if not (_fused_supported(model.cfg) and spec.max_nobj + 1 <= 128):
+        if not (_fused_supported(model.cfg) and spec.max_nobj + 1 <= 256):
             return False
         return (spec.fused in ("on", "interpret")
                 or jax.default_backend() == "tpu")
@@ -91,15 +94,16 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
 
         fused = use_fused(needs_grad)
         if fused:
-            from gsdx.kernels.gnn_forward import (N_PAD, fused_gnn_forward,
+            from gsdx.kernels.gnn_forward import (fused_gnn_forward,
                                                   pack_gnn_params)
 
             packed = pack_gnn_params(params, n_his=spec.n_his)
             e_pad = -(-spec.max_nR // 8) * 8
-            attrs_pad = jnp.zeros((Bc, N_PAD, 2))
+            n_pad = 128 if N <= 128 else 256
+            attrs_pad = jnp.zeros((Bc, n_pad, 2))
             attrs_pad = (attrs_pad.at[:, :n_obj, 0].set(1.0)
                          .at[:, n_obj:N, 1].set(1.0))
-            g_pad = jnp.zeros((Bc, N_PAD, 1)).at[:, :n_obj, 0].set(1.0)
+            g_pad = jnp.zeros((Bc, n_pad, 1)).at[:, :n_obj, 0].set(1.0)
 
         obj_kp = jnp.tile(state[None, None], (Bc, spec.n_his, 1, 1))
         pred_seq = jnp.zeros((Bc, L, n_obj, 3))
@@ -130,7 +134,7 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
             action = jnp.concatenate([jnp.zeros((Bc, n_obj, 3)), delta], axis=1)
 
             if fused:
-                action_pad = jnp.zeros((Bc, N_PAD, 3))
+                action_pad = jnp.zeros((Bc, n_pad, 3))
                 action_pad = action_pad.at[:, n_obj:N].set(delta)
 
             def gnn_fused(states):
@@ -145,7 +149,7 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
                     send = jnp.concatenate([send, fill], axis=1)
                 st_t = jnp.swapaxes(states, 1, 2).reshape(
                     Bc, N, spec.n_his * 3)
-                st_pad = jnp.zeros((Bc, N_PAD, spec.n_his * 3))
+                st_pad = jnp.zeros((Bc, n_pad, spec.n_his * 3))
                 st_pad = st_pad.at[:, :N].set(st_t)
                 motion = fused_gnn_forward(
                     packed, attrs_pad, action_pad, st_pad, g_pad, recv, send,

@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The fast tier is compile-bound (tiny shapes, heavy graphs): persistent
+# compilation cache cuts a warm run to a fraction of cold. Shared dir with
+# the TPU bench cache — entries are keyed by backend + HLO hash.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest

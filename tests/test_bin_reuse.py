@@ -9,6 +9,7 @@ alpha ~ 0) wherever no tile overflows K.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsdx.core.cameras import make_camera
 from gsdx.render.rasterize import RasterizeConfig, compute_bins, rasterize
@@ -62,6 +63,7 @@ def test_frozen_bins_match_fresh_under_drift(rng):
     assert bool(jnp.isfinite(g).all())
 
 
+@pytest.mark.slow  # convergence-quality e2e; the drift-parity test is fast
 def test_tracking_fit_frozen_vs_fresh_psnr(rng):
     """t>0 fit with bin_refresh reuse converges like the per-iter-rebuild
     path (same scene, same schedule; PSNR within 0.2 dB)."""

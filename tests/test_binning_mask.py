@@ -92,6 +92,7 @@ def test_blocksearch_binning_matches_sort(rng, K, dup, block):
                                   np.asarray(m.inv_slot))
 
 
+@pytest.mark.slow  # opt-in binning variant; value-parity stays in fast tier
 def test_blocksearch_binning_grads_match_sort(rng, monkeypatch):
     """rasterize(binning="blocksearch") — with either backward routing —
     matches the sort+scatter reference in outputs and grads."""

@@ -85,6 +85,49 @@ def test_fused_kernel_matches_twin(setup):
                                atol=1e-4, rtol=0)
 
 
+def test_fused_rollout_matches_plain_cloth_family(rng):
+    """Cloth/dog/sloth layout (state_dim=1 z-history + motion_dim=3 history
+    differences, connect_all): the folded node-state matmul must reproduce
+    the flax forward. Also exercises the 256-node pad (n_obj > 127)."""
+    from gsdx.dynamics.train import TrainConfig, init_params
+    from gsdx.graph.dataset import GraphDatasetConfig
+    from gsdx.plan.dynamics_rollout import RolloutSpec, make_batched_rollout
+
+    n_obj, max_nR = 130, 1040  # n_obj + 1 = 131 -> n_pad 256
+    cfg = ModelConfig(n_his=3, state_dim=1, motion_dim=3)
+    model = DynamicsPredictor(cfg)
+    data_cfg = GraphDatasetConfig(n_his=3, max_nobj=n_obj, max_nR=max_nR,
+                                  topk=4)
+    params = init_params(model, TrainConfig(n_his=3), data_cfg,
+                         jax.random.PRNGKey(0))
+    # single push: an UNTRAINED 512-wide net amplifies the one extra bf16
+    # re-round of the folded w1p_st by ~100x per chained push (measured
+    # 1.6e-3 -> 0.17 at 2 pushes), so multi-push parity is only meaningful
+    # statistically; chained-push parity is pinned by the rope variant below
+    base = dict(n_his=3, max_nobj=n_obj, max_nR=max_nR, topk=4,
+                adj_thresh=0.1, max_repeat=1, sort_chunks=1, connect_all=True)
+    roll_plain = jax.jit(make_batched_rollout(
+        model, RolloutSpec(**base, fused="off")))
+    roll_fused = jax.jit(make_batched_rollout(
+        model, RolloutSpec(**base, fused="interpret")))
+    state = jnp.asarray(
+        rng.normal(scale=0.05, size=(n_obj, 3)).astype(np.float32))
+    acts = jnp.asarray(np.concatenate([
+        rng.uniform(-0.2, 0.2, size=(2, 1, 2)),
+        rng.uniform(-np.pi, np.pi, size=(2, 1, 1)),
+        np.full((2, 1, 1), 1.2),
+    ], axis=-1).astype(np.float32))
+    params_bf = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16).astype(jnp.float32), params)
+    a = roll_plain(params_bf, state, acts)["state_seqs"]
+    b = roll_fused(params, state, acts)["state_seqs"]
+    # w1p_st folds bf16-rounded W_z/W_motion rows into one matrix; the
+    # difference rows re-round once more vs the two-matmul flax form
+    # (untrained-net outputs are O(10), hence the rtol term)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                               rtol=2e-3)
+
+
 def test_fused_rollout_matches_plain(setup, rng):
     """End-to-end: make_batched_rollout fused="interpret" vs fused="off"."""
     from gsdx.dynamics.train import TrainConfig, init_params

@@ -97,6 +97,7 @@ def _object_scene_sources(n_cameras=2, w=96, h=72):
     return sources, [R] * n_cameras, [t] * n_cameras
 
 
+@pytest.mark.slow  # heavyweight CLI e2e (planner covered by tests/test_plan.py)
 def test_plan_cli_real_env_end_to_end(tiny_ckpt, tmp_path, monkeypatch):
     """`--env real` with synthetic cameras + FakeArm: >= 2 interactions run
     through RealEnv.step; interaction logs + stats are written."""

@@ -81,16 +81,31 @@ def rewards_of(rollout_fn):
                     state_cur)["reward_seqs"]
 
 
+roll_twin = make_batched_rollout(model, spec._replace(fused="twin"))
 r_on = np.asarray(jax.jit(lambda: rewards_of(rollout_raw))())
 r_off = np.asarray(jax.jit(lambda: rewards_of(roll_off))())
+# kernel correctness at rollout scale: the twin runs the IDENTICAL math as
+# the Pallas kernel through plain XLA — fused-vs-twin isolates kernel
+# execution (expected ~bit-exact; verified exactly so at single-forward
+# scale by probe_fused_tpu.py)
+r_tw = np.asarray(jax.jit(lambda: rewards_of(roll_twin))())
 dvec = np.abs(r_on - r_off)
+dtw = np.abs(r_on - r_tw)
 d_best = abs(r_on.max() - r_off.max())
 print(f"parity (fixed 1000-sample batch): best {r_on.max():.4f} vs "
-      f"{r_off.max():.4f} (|d| {d_best:.2e}); reward |delta| "
+      f"{r_off.max():.4f} (|d| {d_best:.2e}); fused-vs-off |delta| "
       f"median {np.median(dvec):.2e} p95 {np.quantile(dvec, 0.95):.2e} "
-      f"max {dvec.max():.2e}; argmax same: {r_on.argmax() == r_off.argmax()}",
+      f"max {dvec.max():.2e} [bf16-class regroup x chained-push "
+      f"amplification]; fused-vs-TWIN median {np.median(dtw):.2e} max "
+      f"{dtw.max():.2e}; argmax same: {r_on.argmax() == r_off.argmax()}",
       flush=True)
-assert d_best < 0.1 and np.median(dvec) < 0.02, (d_best, np.median(dvec))
+assert d_best < 0.1, d_best
+# kernel == its XLA twin through 19 chained pushes for the typical sample
+# (median measured EXACTLY 0.0 on chip); the tail is adjacency-threshold /
+# top-k tie flips — the edge-distance graph fuses differently in the two
+# programs, and a 1-ulp difference at a tie rebuilds a different edge set.
+assert np.median(dtw) < 1e-6, np.median(dtw)
+assert (dtw > 1e-3).mean() < 0.05, (dtw > 1e-3).mean()
 
 out = planner.trajectory_optimization(jax.random.PRNGKey(0), state_cur, init)
 jax.block_until_ready(out["act_seq"])

@@ -49,9 +49,12 @@ class RolloutSpec(NamedTuple):
     sort_chunks: int = 8
     # fused Pallas GNN forward (gsdx/kernels/gnn_forward.py): "auto" uses it
     # on TPU for the supported model family, "on"/"off" force, "interpret"
-    # runs the kernel in interpreter mode (CPU testing). The fused path's
-    # matmul numerics are the XLA-default class (bf16 one-pass, f32
-    # accumulation); see the kernel docstring.
+    # runs the kernel in interpreter mode (CPU testing), "twin" runs the
+    # kernel's plain-XLA twin (identical math/graph — isolates kernel-vs-XLA
+    # execution in parity checks). The fused path's matmul numerics are the
+    # XLA-default class (bf16 one-pass, f32 accumulation); the restructured
+    # grouping rounds at different points than model.apply, so chained-push
+    # trajectories deviate at the bf16 class level; see the kernel docstring.
     fused: str = "auto"
 
 
@@ -78,7 +81,7 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
             return False
         if not (_fused_supported(model.cfg) and spec.max_nobj + 1 <= 256):
             return False
-        return (spec.fused in ("on", "interpret")
+        return (spec.fused in ("on", "interpret", "twin")
                 or jax.default_backend() == "tpu")
 
     def roll_block(params, state, decoded, repeats, needs_grad=False):
@@ -95,6 +98,7 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
         fused = use_fused(needs_grad)
         if fused:
             from gsdx.kernels.gnn_forward import (fused_gnn_forward,
+                                                  gnn_forward_xla_twin,
                                                   pack_gnn_params)
 
             packed = pack_gnn_params(params, n_his=spec.n_his)
@@ -151,11 +155,16 @@ def make_batched_rollout(model: DynamicsPredictor, spec: RolloutSpec):
                     Bc, N, spec.n_his * 3)
                 st_pad = jnp.zeros((Bc, n_pad, spec.n_his * 3))
                 st_pad = st_pad.at[:, :N].set(st_t)
-                motion = fused_gnn_forward(
-                    packed, attrs_pad, action_pad, st_pad, g_pad, recv, send,
-                    pstep=model.cfg.pstep,
-                    interpret=spec.fused == "interpret",
-                )[:, :n_obj, :3]
+                if spec.fused == "twin":
+                    motion = gnn_forward_xla_twin(
+                        packed, attrs_pad, action_pad, st_pad, g_pad, recv,
+                        send, pstep=model.cfg.pstep)[:, :n_obj, :3]
+                else:
+                    motion = fused_gnn_forward(
+                        packed, attrs_pad, action_pad, st_pad, g_pad, recv,
+                        send, pstep=model.cfg.pstep,
+                        interpret=spec.fused == "interpret",
+                    )[:, :n_obj, :3]
                 return states[:, -1, :n_obj] + jnp.clip(
                     motion, -model.cfg.motion_clamp, model.cfg.motion_clamp)
 

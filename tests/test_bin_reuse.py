@@ -34,7 +34,8 @@ def test_frozen_bins_match_fresh_under_drift(rng):
     means, quats, scales, opac, colors = _scene(rng)
 
     # bins at step 0 with a 4 px margin
-    bins0 = compute_bins(means, quats, scales, cam, cfg, margin_px=4.0)
+    bins0 = jax.jit(lambda *a: compute_bins(
+        *a, cam, cfg, margin_px=4.0))(means, quats, scales)
 
     # drift positions by ~2 px (focal 120, depth 2.5: 1 px ~ 0.021 world)
     drift = jnp.asarray(
@@ -42,9 +43,10 @@ def test_frozen_bins_match_fresh_under_drift(rng):
     ) * jnp.asarray([1.0, 1.0, 0.0])
     moved = means + drift
 
-    out_frozen = rasterize(moved, quats, scales, opac, colors, cam, cfg,
-                           bins=bins0)
-    out_fresh = rasterize(moved, quats, scales, opac, colors, cam, cfg)
+    out_frozen = jax.jit(lambda m, b: rasterize(
+        m, quats, scales, opac, colors, cam, cfg, bins=b))(moved, bins0)
+    out_fresh = jax.jit(lambda m: rasterize(
+        m, quats, scales, opac, colors, cam, cfg))(moved)
     np.testing.assert_allclose(
         np.asarray(out_frozen.im), np.asarray(out_fresh.im),
         atol=5e-5, rtol=0,
@@ -59,7 +61,7 @@ def test_frozen_bins_match_fresh_under_drift(rng):
         o = rasterize(m, quats, scales, opac, colors, cam, cfg, bins=bins0)
         return o.im.mean()
 
-    g = jax.grad(loss)(moved)
+    g = jax.jit(jax.grad(loss))(moved)
     assert bool(jnp.isfinite(g).all())
 
 

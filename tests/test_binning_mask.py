@@ -119,15 +119,15 @@ def test_blocksearch_binning_grads_match_sort(rng, monkeypatch):
 
     cfg_s = RasterizeConfig(binning="sort", backend="xla")
     cfg_a = RasterizeConfig(binning="blocksearch", backend="xla")
-    ref = rasterize(*args, cam, cfg_s)
-    g_ref = jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    ref = jax.jit(lambda *a: rasterize(*a, cam, cfg_s))(*args)
+    g_ref = jax.jit(jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4)))(*args)
 
     for invmap_max in (1 << 20, 0):  # invmap routing, then scatter routing
         monkeypatch.setattr(R, "BWD_INVMAP_MAX_N", invmap_max)
-        out = rasterize(*args, cam, cfg_a)
+        out = jax.jit(lambda *a: rasterize(*a, cam, cfg_a))(*args)
         np.testing.assert_allclose(np.asarray(ref.im), np.asarray(out.im),
                                    atol=1e-6)
-        g = jax.grad(lambda *a: loss(cfg_a, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        g = jax.jit(jax.grad(lambda *a: loss(cfg_a, *a), argnums=(0, 1, 2, 3, 4)))(*args)
         for a, b in zip(g_ref, g):
             scale = np.abs(np.asarray(a)).max() + 1e-8
             np.testing.assert_allclose(np.asarray(b) / scale,
@@ -254,12 +254,12 @@ def test_unsorted_binning_grads_match_sort(rng):
 
     cfg_s = RasterizeConfig(binning="sort", backend="xla")
     cfg_u = RasterizeConfig(binning="unsorted", backend="xla")
-    out_s = rasterize(*args, cam, cfg_s)
-    out_u = rasterize(*args, cam, cfg_u)
+    out_s = jax.jit(lambda *a: rasterize(*a, cam, cfg_s))(*args)
+    out_u = jax.jit(lambda *a: rasterize(*a, cam, cfg_u))(*args)
     np.testing.assert_allclose(np.asarray(out_s.im), np.asarray(out_u.im),
                                atol=1e-6)
-    g_s = jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4))(*args)
-    g_u = jax.grad(lambda *a: loss(cfg_u, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_s = jax.jit(jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4)))(*args)
+    g_u = jax.jit(jax.grad(lambda *a: loss(cfg_u, *a), argnums=(0, 1, 2, 3, 4)))(*args)
     for a, b in zip(g_s, g_u):
         scale = np.abs(np.asarray(a)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(b) / scale,
@@ -288,13 +288,13 @@ def test_mask_binning_grads_match_sort(rng):
 
     cfg_s = RasterizeConfig(binning="sort", backend="xla")
     cfg_m = RasterizeConfig(binning="mask", backend="xla")
-    out_s = rasterize(*args, cam, cfg_s)
-    out_m = rasterize(*args, cam, cfg_m)
+    out_s = jax.jit(lambda *a: rasterize(*a, cam, cfg_s))(*args)
+    out_m = jax.jit(lambda *a: rasterize(*a, cam, cfg_m))(*args)
     np.testing.assert_allclose(np.asarray(out_s.im), np.asarray(out_m.im),
                                atol=1e-6)
 
-    g_s = jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4))(*args)
-    g_m = jax.grad(lambda *a: loss(cfg_m, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_s = jax.jit(jax.grad(lambda *a: loss(cfg_s, *a), argnums=(0, 1, 2, 3, 4)))(*args)
+    g_m = jax.jit(jax.grad(lambda *a: loss(cfg_m, *a), argnums=(0, 1, 2, 3, 4)))(*args)
     for a, b in zip(g_s, g_m):
         scale = np.abs(np.asarray(a)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(b) / scale,

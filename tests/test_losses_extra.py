@@ -43,20 +43,19 @@ def test_fused_matches_two_pass_loss(rng):
                         cams)
     m2d = jnp.zeros((64, 2))
     w = LossWeights()
-    l_fused, _ = tracking_loss(params, m2d, cam0, ims[0], segs[0], variables,
-                               w, True, CFG_RASTER, fused=True)
-    l_two, _ = tracking_loss(params, m2d, cam0, ims[0], segs[0], variables,
-                             w, True, CFG_RASTER, fused=False)
-    np.testing.assert_allclose(float(l_fused), float(l_two), rtol=1e-5)
 
-    # gradients also agree for the shared-parameter paths
     def lf(p, fused):
         l, _ = tracking_loss(p, m2d, cam0, ims[0], segs[0], variables, w,
                              True, CFG_RASTER, fused=fused)
         return l
 
-    g1 = jax.grad(lambda p: lf(p, True))(params)
-    g2 = jax.grad(lambda p: lf(p, False))(params)
+    # one jitted value_and_grad per variant (eager grad costs ~16 s in
+    # hundreds of per-op compiles; jitted: ~2.5 s)
+    l_fused, g1 = jax.jit(jax.value_and_grad(
+        lambda p: lf(p, True)))(params)
+    l_two, g2 = jax.jit(jax.value_and_grad(
+        lambda p: lf(p, False)))(params)
+    np.testing.assert_allclose(float(l_fused), float(l_two), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1.means3d), np.asarray(g2.means3d),
                                atol=1e-5)
     np.testing.assert_allclose(

@@ -41,8 +41,8 @@ def test_pallas_fwd_matches_xla(rng):
     means, quats, scales, opac, colors = make_scene(rng)
     cam = make_cam()
     args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
-    out_p = rasterize(*args, cam, PALLAS)
-    out_x = rasterize(*args, cam, XLA)
+    out_p = jax.jit(lambda *a: rasterize(*a, cam, PALLAS))(*args)
+    out_x = jax.jit(lambda *a: rasterize(*a, cam, XLA))(*args)
     np.testing.assert_allclose(np.asarray(out_p.im), np.asarray(out_x.im), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_p.depth), np.asarray(out_x.depth), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_p.final_t), np.asarray(out_x.final_t), atol=1e-5)
@@ -62,7 +62,7 @@ def test_pallas_bwd_matches_reference_grads(rng):
                 + 0.1 * jnp.abs(out.depth).mean()
                 + 0.05 * out.final_t.mean())
 
-    g_p = jax.grad(lambda *a: loss(PALLAS, *a), argnums=tuple(range(6)))(*args, m2d)
+    g_p = jax.jit(jax.grad(lambda *a: loss(PALLAS, *a), argnums=tuple(range(6))))(*args, m2d)
 
     def loss_ref(means, quats, scales, opac, colors, m2d):
         im, _, depth, final_t = render_reference(
@@ -71,7 +71,7 @@ def test_pallas_bwd_matches_reference_grads(rng):
         return (jnp.abs(im - target).mean() + 0.1 * jnp.abs(depth).mean()
                 + 0.05 * final_t.mean())
 
-    g_r = jax.grad(loss_ref, argnums=tuple(range(6)))(*args, m2d)
+    g_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(6))))(*args, m2d)
 
     names = ["means3d", "quats", "scales", "opacities", "colors", "mean2d"]
     for name, gp, gr in zip(names, g_p, g_r):
@@ -97,19 +97,19 @@ def test_nosort_inkernel_presort_matches_sorted(rng):
                 + 0.05 * out.final_t.mean())
 
     ref_cfg = XLA._replace(binning="sort")
-    out_ref = rasterize(*args, cam, ref_cfg)
-    g_ref = jax.grad(lambda *a: loss(ref_cfg, *a),
-                     argnums=tuple(range(5)))(*args)
+    out_ref = jax.jit(lambda *a: rasterize(*a, cam, ref_cfg))(*args)
+    g_ref = jax.jit(jax.grad(lambda *a: loss(ref_cfg, *a),
+                             argnums=tuple(range(5))))(*args)
 
     for cfg in (XLA._replace(binning="nosort"),
                 PALLAS._replace(binning="nosort"),
                 PALLAS._replace(binning="nosort", sub_chunk=64)):
-        out = rasterize(*args, cam, cfg)
+        out = jax.jit(lambda *a: rasterize(*a, cam, cfg))(*args)
         np.testing.assert_allclose(np.asarray(out.im), np.asarray(out_ref.im),
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(out.depth),
                                    np.asarray(out_ref.depth), atol=1e-4)
-        g = jax.grad(lambda *a: loss(cfg, *a), argnums=tuple(range(5)))(*args)
+        g = jax.jit(jax.grad(lambda *a: loss(cfg, *a), argnums=tuple(range(5))))(*args)
         for gp, gr in zip(g, g_ref):
             scale = np.abs(np.asarray(gr)).max() + 1e-8
             np.testing.assert_allclose(np.asarray(gp) / scale,
@@ -142,9 +142,9 @@ def test_early_stop_fires_and_grads_match(rng):
     cfg_xla = XLA._replace(sub_chunk=32)
     cfg_full = cfg_stop._replace(early_stop=False)
 
-    out_p = rasterize(*args, cam, cfg_stop)
-    out_x = rasterize(*args, cam, cfg_xla)
-    out_f = rasterize(*args, cam, cfg_full)
+    out_p = jax.jit(lambda *a: rasterize(*a, cam, cfg_stop))(*args)
+    out_x = jax.jit(lambda *a: rasterize(*a, cam, cfg_xla))(*args)
+    out_f = jax.jit(lambda *a: rasterize(*a, cam, cfg_full))(*args)
     # pallas == twin on the stopped primal (same exit rule, same granularity)
     np.testing.assert_allclose(np.asarray(out_p.im), np.asarray(out_x.im),
                                atol=1e-5)
@@ -156,8 +156,8 @@ def test_early_stop_fires_and_grads_match(rng):
         out = rasterize(*a, cam, cfg)
         return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
 
-    g_p = jax.grad(lambda *a: loss(cfg_stop, *a), argnums=(0, 2, 3))(*args)
-    g_x = jax.grad(lambda *a: loss(cfg_xla, *a), argnums=(0, 2, 3))(*args)
+    g_p = jax.jit(jax.grad(lambda *a: loss(cfg_stop, *a), argnums=(0, 2, 3)))(*args)
+    g_x = jax.jit(jax.grad(lambda *a: loss(cfg_xla, *a), argnums=(0, 2, 3)))(*args)
     for gp, gx in zip(g_p, g_x):
         scale = np.abs(np.asarray(gx)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(gp) / scale,
@@ -190,8 +190,8 @@ def test_pallas_subchunk_matches_xla(rng):
     cam = make_cam()
     args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
     sub = PALLAS._replace(sub_chunk=64)
-    out_p = rasterize(*args, cam, sub)
-    out_x = rasterize(*args, cam, XLA)
+    out_p = jax.jit(lambda *a: rasterize(*a, cam, sub))(*args)
+    out_x = jax.jit(lambda *a: rasterize(*a, cam, XLA))(*args)
     np.testing.assert_allclose(np.asarray(out_p.im), np.asarray(out_x.im),
                                atol=1e-5)
 
@@ -201,8 +201,8 @@ def test_pallas_subchunk_matches_xla(rng):
         out = rasterize(*a, cam, cfg)
         return jnp.abs(out.im - target).mean() + 0.05 * out.final_t.mean()
 
-    g_s = jax.grad(lambda *a: loss(sub, *a), argnums=(0, 1, 2))(*args)
-    g_x = jax.grad(lambda *a: loss(XLA, *a), argnums=(0, 1, 2))(*args)
+    g_s = jax.jit(jax.grad(lambda *a: loss(sub, *a), argnums=(0, 1, 2)))(*args)
+    g_x = jax.jit(jax.grad(lambda *a: loss(XLA, *a), argnums=(0, 1, 2)))(*args)
     for gp, gr in zip(g_s, g_x):
         scale = np.abs(np.asarray(gr)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(gp) / scale,

@@ -39,11 +39,13 @@ CFG = RasterizeConfig(tile_h=8, tile_w=128, max_per_tile=256, max_dup=32, backen
 def test_forward_matches_reference(rng):
     means, quats, scales, opac, colors = make_scene(rng)
     cam = make_cam(bg=(0.3, 0.1, 0.6))
-    out = rasterize(jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-                    jnp.asarray(opac), jnp.asarray(colors), cam, CFG)
-    im_ref, radius_ref, depth_ref, final_t_ref = render_reference(
+    out = jax.jit(lambda *a: rasterize(*a, cam, CFG))(
         jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-        jnp.asarray(opac), jnp.asarray(colors), cam, strict_t_stop=False)
+        jnp.asarray(opac), jnp.asarray(colors))
+    im_ref, radius_ref, depth_ref, final_t_ref = jax.jit(
+        lambda *a: render_reference(*a, cam, strict_t_stop=False))(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors))
 
     np.testing.assert_allclose(np.asarray(out.im), np.asarray(im_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(depth_ref), atol=1e-4)
@@ -55,11 +57,13 @@ def test_forward_close_to_strict_reference(rng):
     """With the CUDA 1e-4 early-stop enabled, outputs agree to ~1e-3."""
     means, quats, scales, opac, colors = make_scene(rng, n=200)
     cam = make_cam()
-    out = rasterize(jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-                    jnp.asarray(opac), jnp.asarray(colors), cam, CFG)
-    im_ref, _, depth_ref, _ = render_reference(
+    out = jax.jit(lambda *a: rasterize(*a, cam, CFG))(
         jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-        jnp.asarray(opac), jnp.asarray(colors), cam, strict_t_stop=True)
+        jnp.asarray(opac), jnp.asarray(colors))
+    im_ref, _, depth_ref, _ = jax.jit(
+        lambda *a: render_reference(*a, cam, strict_t_stop=True))(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors))
     np.testing.assert_allclose(np.asarray(out.im), np.asarray(im_ref), atol=2e-3)
 
 
@@ -83,8 +87,8 @@ def test_gradients_match_reference(rng):
         return jnp.abs(im - target).mean() + 0.1 * jnp.abs(depth).mean()
 
     m2d = jnp.zeros((60, 2))
-    g_prod = jax.grad(loss_prod, argnums=(0, 1, 2, 3, 4, 5))(*args, m2d)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args, m2d)
+    g_prod = jax.jit(jax.grad(loss_prod, argnums=(0, 1, 2, 3, 4, 5)))(*args, m2d)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5)))(*args, m2d)
 
     names = ["means3d", "quats", "scales", "opacities", "colors", "mean2d"]
     for name, gp, gr in zip(names, g_prod, g_ref):
@@ -102,10 +106,10 @@ def test_tile_truncation_keeps_nearest(rng):
     cam = make_cam()
     small = RasterizeConfig(tile_h=8, tile_w=128, max_per_tile=256, backend="xla")
     big = RasterizeConfig(tile_h=8, tile_w=128, max_per_tile=512, backend="xla")
-    out_small = rasterize(jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-                          jnp.asarray(opac), jnp.asarray(colors), cam, small)
-    out_big = rasterize(jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-                        jnp.asarray(opac), jnp.asarray(colors), cam, big)
+    a5 = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+          jnp.asarray(opac), jnp.asarray(colors))
+    out_small = jax.jit(lambda *a: rasterize(*a, cam, small))(*a5)
+    out_big = jax.jit(lambda *a: rasterize(*a, cam, big))(*a5)
     # Truncation only drops heavily-occluded contributions; images stay close.
     assert np.abs(np.asarray(out_small.im) - np.asarray(out_big.im)).max() < 0.05
 
@@ -115,12 +119,13 @@ def test_live_mask_culls(rng):
     cam = make_cam()
     live = np.ones(50, np.float32)
     live[25:] = 0.0
-    out_masked = rasterize(jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-                           jnp.asarray(opac), jnp.asarray(colors), cam, CFG,
-                           live=jnp.asarray(live))
-    out_subset = rasterize(jnp.asarray(means[:25]), jnp.asarray(quats[:25]),
-                           jnp.asarray(scales[:25]), jnp.asarray(opac[:25]),
-                           jnp.asarray(colors[:25]), cam, CFG)
+    out_masked = jax.jit(lambda *a, lv: rasterize(*a, cam, CFG, live=lv))(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), lv=jnp.asarray(live))
+    out_subset = jax.jit(lambda *a: rasterize(*a, cam, CFG))(
+        jnp.asarray(means[:25]), jnp.asarray(quats[:25]),
+        jnp.asarray(scales[:25]), jnp.asarray(opac[:25]),
+        jnp.asarray(colors[:25]))
     np.testing.assert_allclose(np.asarray(out_masked.im), np.asarray(out_subset.im),
                                atol=1e-5)
 
@@ -128,9 +133,10 @@ def test_live_mask_culls(rng):
 def test_empty_scene_renders_background():
     cam = make_cam(bg=(0.25, 0.5, 0.75))
     n = 4
-    out = rasterize(jnp.zeros((n, 3)), jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
-                    jnp.full((n, 3), 0.01), jnp.zeros((n, 1)), jnp.zeros((n, 3)),
-                    cam, CFG, live=jnp.zeros((n,)))
+    out = jax.jit(lambda *a, lv: rasterize(*a, cam, CFG, live=lv))(
+        jnp.zeros((n, 3)), jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+        jnp.full((n, 3), 0.01), jnp.zeros((n, 1)), jnp.zeros((n, 3)),
+        lv=jnp.zeros((n,)))
     im = np.asarray(out.im)
     np.testing.assert_allclose(im[0], 0.25, atol=1e-6)
     np.testing.assert_allclose(im[1], 0.5, atol=1e-6)

@@ -86,11 +86,14 @@ print(f"[drive] fitted scene: {n_fit} gaussians", flush=True)
 lo, hi = fit_xyz.min(0), fit_xyz.max(0)
 extent = float(np.linalg.norm(hi - lo))
 axis = np.argmax(hi - lo)  # rope axis
-u = (fit_xyz[:, axis] - lo[axis]) / max(hi[axis] - lo[axis], 1e-6)
 
 
 def motion(xyz, t):
-    """Known deformation at timestep t (t=0 -> identity)."""
+    """Known deformation at timestep t (t=0 -> identity). Pure function of
+    position (u from the fit-scene axis bounds), so it evaluates both the
+    ground-truth episode AND the expected displacement of any tracked
+    point set."""
+    u = (xyz[:, axis] - lo[axis]) / max(hi[axis] - lo[axis], 1e-6)
     d = np.zeros_like(xyz)
     d[:, 0] += 0.010 * extent * t  # rigid drift
     d[:, 1] += 0.006 * extent * t * np.sin(2.5 * u + 0.4 * t)  # bend
@@ -162,24 +165,24 @@ print(f"[drive] stage C: track_sequence T={T_STEPS}, init "
       f"{init_cld.shape[0]} pts, capacity 8192, radius {scene_radius:.2f}",
       flush=True)
 t0 = time.time()
-stamps = [t0]
-
-
-class _Timer:
-    def __call__(self, t):
-        stamps.append(time.time())
-
-
+t_walls = {}
 outputs = track_sequence(
     params0, cams_stack, jnp.asarray(ims_seq), jnp.asarray(segs_seq),
     num_timesteps=T_STEPS, cfg=cfg, scene_radius=scene_radius, progress=True,
+    on_timestep=lambda t, w: t_walls.__setitem__(t, w),
 )
 wall = time.time() - t0
-print(f"[drive] tracking done in {wall:.0f}s", flush=True)
+t0_iters_s = round(cfg.iters_first / t_walls[0], 1)
+t1_iters_s = round(cfg.iters_rest * (T_STEPS - 1)
+                   / sum(t_walls[t] for t in range(1, T_STEPS)), 1)
+print(f"[drive] tracking done in {wall:.0f}s "
+      f"(t=0 {t0_iters_s} iters/s incl. compile+densify; "
+      f"t>0 {t1_iters_s} iters/s)", flush=True)
 
 # ---- Stage D: metrics --------------------------------------------------------
 report = {"fit_psnr_480p": round(float(logs['psnr'][-1]), 2),
-          "n_fit": n_fit, "wall_s": round(wall, 1), "per_t": []}
+          "n_fit": n_fit, "wall_s": round(wall, 1),
+          "t0_iters_s": t0_iters_s, "t1_iters_s": t1_iters_s, "per_t": []}
 for t in range(T_STEPS):
     snap = outputs[t]
     xyz = snap["means3D"]
@@ -199,14 +202,28 @@ for t in range(T_STEPS):
     cen_err = float(np.linalg.norm(xyz.mean(0) - gt_xyz[t].mean(0)))
     gt_step = (np.linalg.norm(gt_xyz[t].mean(0) - gt_xyz[0].mean(0))
                if t else 0.0)
+    # motion-relative metric: apply the KNOWN analytic motion to the
+    # tracked t=0 point set itself — the exact expected centroid for this
+    # set (the raw centroid_err confounds set-sampling bias: the tracked
+    # cloud is subsampled+densified, so its centroid differs from gt's)
+    exp_xyz = motion(outputs[0]["means3D"][:n], t)
+    motion_err = float(np.linalg.norm(xyz.mean(0) - exp_xyz.mean(0)))
+    # per-point tracking error: the t>0 point set is FIXED (means move,
+    # no resampling), so index i at time t corresponds to index i at t=0 —
+    # compare against the analytic deformation of the tracked t=0 cloud
+    per_pt = np.linalg.norm(xyz - exp_xyz, axis=1)
     report["per_t"].append({
         "t": t, "psnr": [round(p, 2) for p in psnrs],
         "centroid_err_m": round(cen_err, 5),
+        "centroid_motion_err_m": round(motion_err, 5),
+        "per_point_err_mean_m": round(float(per_pt.mean()), 5),
+        "per_point_err_median_m": round(float(np.median(per_pt)), 5),
         "gt_centroid_motion_m": round(float(gt_step), 5),
         "n_pts": n,
     })
     print(f"[drive] t={t} psnr={[f'{p:.2f}' for p in psnrs]} "
-          f"centroid_err={cen_err:.5f} m (gt motion {gt_step:.5f} m)",
+          f"per-point err mean={per_pt.mean():.5f} med={np.median(per_pt):.5f} "
+          f"centroid motion_err={motion_err:.5f} m (gt motion {gt_step:.5f})",
           flush=True)
 
 with open(f"{OUT}/dynamic_tracking_report.json", "w") as f:

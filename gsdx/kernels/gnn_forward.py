@@ -95,7 +95,8 @@ class PackedGNN(NamedTuple):
 
 
 def pack_gnn_params(params, n_his: int = 3, dtype=jnp.bfloat16) -> PackedGNN:
-    """Repack a flax DynamicsPredictor param tree (rope family config).
+    """Repack a flax DynamicsPredictor param tree (rope or cloth/dog/sloth
+    family configs — see module docstring for the folded state/motion form).
 
     ``dtype=jnp.bfloat16`` (default) stores weights with exactly the
     rounding XLA's DEFAULT TPU matmul applies per-op to f32 operands;

@@ -381,13 +381,16 @@ def track_sequence(
     progress: bool = False,
     state_path: Optional[str] = None,
     resume: bool = False,
+    on_timestep=None,
 ):
     """Full tracking loop over a sequence (`train_gs.py:10-46`).
 
     ims/segs may be arrays indexed by timestep or callables returning the
     per-timestep stack (for sequences too large for host memory).
-    ``state_path``/``resume`` enable mid-sequence checkpointing. Returns a
-    list of per-timestep host param snapshots (params2cpu equivalent,
+    ``state_path``/``resume`` enable mid-sequence checkpointing.
+    ``on_timestep(t, wall_seconds)`` is called after each timestep's fit
+    completes (timing telemetry for drives/benchmarks). Returns a list of
+    per-timestep host param snapshots (params2cpu equivalent,
     `helpers.py:141-147`).
     """
     import os
@@ -465,9 +468,15 @@ def track_sequence(
                     cfg, is_initial=False, num_iters=cfg.iters_rest
                 )
             fit = fit_rest
+        import time as _time
+
+        _t0 = _time.perf_counter()
         params, opt_state, variables, logs = fit(
             params, opt_state, variables, lrs, cams, t_ims, t_segs, order, sub
         )
+        jax.block_until_ready(params.means3d)
+        if on_timestep is not None:
+            on_timestep(t, _time.perf_counter() - _t0)
         if progress:
             print(
                 f"[track] t={t} loss={float(logs['loss'][-1]):.5f} "

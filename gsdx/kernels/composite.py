@@ -343,17 +343,28 @@ def _bwd_kernel(
     per = chunk // sub
     nblocks = pl.cdiv(count_eff, chunk)
 
+    # Tile-local pixel-moment basis for the spatial gradients: every
+    # per-gaussian reduction sum_p q*{1, dx, dy, dx^2, dx*dy, dy^2} expands
+    # (dx = px - mean_x) into moments of q against the FIXED basis
+    # {1, x, y, x^2, xy, y^2} in tile-local coordinates — ONE (6, P)@(P, SUB)
+    # matmul replaces five (SUB, P) elementwise products + six (SUB, P)
+    # row-reductions per sub-chunk (the backward's dominant VPU traffic).
+    # HIGHEST precision: the mean-shift expansion cancels up to ~3 orders
+    # (x^2 terms ~4k vs results ~sigma^2); one-pass bf16 would destroy it.
+    cx = jnp.sum(px) / px.shape[1]  # tile-center x (scalar)
+    cy = jnp.sum(py) / py.shape[1]
+    xl = px - cx  # (1, P) tile-local coords
+    yl = py - cy
+    basis = jnp.concatenate(
+        [jnp.ones_like(xl), xl, yl, xl * xl, xl * yl, yl * yl], axis=0
+    )  # (6, P)
+
     def sub_grads(cf, k0, s_after, b_after):
         """Gradient math for one (FEAT_DIM, SUB) sub-chunk (reverse order)."""
         slot = k0 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
         smask = slot < count_eff
-        alpha, e, pgate, dx, dy = _chunk_alpha(cf, px, py, smask)
+        alpha, e, pgate, _, _ = _chunk_alpha(cf, px, py, smask)
         l = jnp.log1p(-alpha)
-        cum = _prefix_sum(l)  # inclusive prefix within sub-chunk
-        rcum = cum[-1:, :] - cum + l  # inclusive suffix within sub-chunk
-        log_t_before = logt_final - (s_after + rcum)
-        t_before = jnp.exp(log_t_before)
-        w = alpha * t_before
 
         rgbd = cf[6:6 + n_accum, :]  # (n_accum, SUB)
         # dL/dw_k per pixel = sum_c g_c * c_k  -> (SUB, P) matmul
@@ -363,6 +374,10 @@ def _bwd_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        cum = _prefix_sum(l)  # inclusive prefix within sub-chunk
+        rcum = cum[-1:, :] - cum + l  # inclusive suffix within sub-chunk
+        t_before = jnp.exp(logt_final - (s_after + rcum))
+        w = alpha * t_before
         wd = w * dldw
         cw = _prefix_sum(wd)
         # exclusive suffix of w*dLdw over ALL later gaussians
@@ -371,21 +386,26 @@ def _bwd_kernel(
         dalpha = t_before * dldw - (b_k + g_logt) / one_m
         dalpha = jnp.where(alpha > 0, dalpha, 0.0)
 
-        op = cf[5, :][:, None]
-        pre = op * e
-        dop = dalpha * jnp.where(pgate, e, 0.0)
-        dpower = dalpha * jnp.where(pgate, pre, 0.0)
-        ca = cf[2, :][:, None]
-        cb = cf[3, :][:, None]
-        cc = cf[4, :][:, None]
-        da = dpower * (-0.5 * dx * dx)
-        db = dpower * (-dx * dy)
-        dc = dpower * (-0.5 * dy * dy)
-        ddx = dpower * (-ca * dx - cb * dy)
-        ddy = dpower * (-cc * dy - cb * dx)
-
-        def rsum(x):  # (SUB, P) -> row (1, SUB)
-            return jnp.sum(x, axis=1)[None, :]
+        # q = dalpha * e on unclamped covers: dop = sum_p q;
+        # dpower = opacity * q, contracted against the moment basis
+        q = dalpha * jnp.where(pgate, e, 0.0)
+        mom = jax.lax.dot_general(
+            basis, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )  # (6, SUB)
+        m0, m1x, m1y, m2xx, m2xy, m2yy = (mom[0:1], mom[1:2], mom[2:3],
+                                          mom[3:4], mom[4:5], mom[5:6])
+        mx = cf[0:1, :] - cx  # (1, SUB) tile-local mean
+        my = cf[1:2, :] - cy
+        ca = cf[2:3, :]
+        cb = cf[3:4, :]
+        cc = cf[4:5, :]
+        op = cf[5:6, :]
+        s_dx = m1x - mx * m0  # sum_p q * dx, etc.
+        s_dy = m1y - my * m0
+        s_dx2 = m2xx - 2.0 * mx * m1x + mx * mx * m0
+        s_dxy = m2xy - mx * m1y - my * m1x + mx * my * m0
+        s_dy2 = m2yy - 2.0 * my * m1y + my * my * m0
 
         # color/depth grads: contraction over pixels
         dcol = jax.lax.dot_general(
@@ -397,12 +417,12 @@ def _bwd_kernel(
 
         gsub = jnp.concatenate(
             [
-                rsum(-ddx),  # d mean_x
-                rsum(-ddy),  # d mean_y
-                rsum(da),
-                rsum(db),
-                rsum(dc),
-                rsum(dop),
+                op * (ca * s_dx + cb * s_dy),  # d mean_x = -rsum(ddx)
+                op * (cc * s_dy + cb * s_dx),  # d mean_y
+                op * (-0.5) * s_dx2,  # d conic_a
+                op * (-1.0) * s_dxy,  # d conic_b
+                op * (-0.5) * s_dy2,  # d conic_c
+                m0,  # d opacity
                 dcol.T,  # (n_accum, SUB): d colors..., depth
                 jnp.zeros((FEAT_DIM - 6 - n_accum, sub), jnp.float32),
             ],

@@ -54,7 +54,7 @@ orig_take_rows_bwd = RZ._take_rows_bwd
 
 def zero_composite_bwd(grid, cfg_, n_accum, res, g):
     tile_feats = res[0]
-    return jnp.zeros_like(tile_feats.transpose(0, 2, 1)).transpose(0, 2, 1), None
+    return jnp.zeros_like(tile_feats), None, None
 
 
 def zero_take_rows_bwd(res, g):

@@ -63,9 +63,20 @@ def make(mode):
                      jnp.zeros((N, 16 - 7 - 3), jnp.float32)], axis=-1)
                 tf = _take_rows(feats, bins.gauss_idx)
                 v = tf.mean()
-            else:  # to_proj
+            elif mode == "to_feats_T":
+                proj = project_gaussians(a0, args[1], args[2], cam)
+                feats = jnp.concatenate(
+                    [proj.mean2d, proj.conic,
+                     args[3].reshape(N, 1) * proj.mask[:, None], args[4],
+                     proj.depth[:, None],
+                     jnp.zeros((N, 16 - 7 - 3), jnp.float32)], axis=-1)
+                tf = _take_rows(feats, bins.gauss_idx).transpose(0, 2, 1)
+                v = tf.mean()
+            elif mode == "to_proj":
                 proj = project_gaussians(a0, args[1], args[2], cam)
                 v = proj.mean2d.mean() + proj.conic.mean() + proj.depth.mean()
+            else:  # floor
+                v = a0.mean()
             return v, v
 
         carry, outs = jax.lax.scan(body, 0.0, None, length=SCAN)
@@ -74,7 +85,7 @@ def make(mode):
     return scan_steps
 
 
-variants = ["fwd_full", "to_feats", "to_proj"]
+variants = ["fwd_full", "to_feats", "to_feats_T", "to_proj", "floor"]
 fns = {m: make(m) for m in variants}
 for m in variants:
     t0 = time.perf_counter()

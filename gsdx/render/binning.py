@@ -75,6 +75,13 @@ class TileBins:
     inv_order: jnp.ndarray | None = None
     inv_tile: jnp.ndarray | None = None
     inv_slot: jnp.ndarray | None = None
+    # live-tile compaction (frozen-bin callers): stable live-first tile
+    # permutation + live count. When n_live fits the static compaction cap,
+    # the gather + compositor run on only the leading live tiles (object-
+    # centric scenes leave most of the frame's tiles empty; the r4 probe
+    # measured ~0.5 ms/iter of dead-tile grid+gather overhead at 65k/720p).
+    tile_order: jnp.ndarray | None = None
+    n_live: jnp.ndarray | None = None
 
 
 def bin_gaussians(

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gsdx.core.cameras import Camera
-from gsdx.core.transforms import quat_to_rotmat
+from gsdx.core.transforms import quat_normalize, quat_to_rotmat
 
 # The CUDA reference culls against a hardcoded 0.2 view-space z regardless of
 # the projection matrix near plane.
@@ -67,8 +67,10 @@ def project_gaussians(
     """Project N world-space Gaussians into screen space for one camera."""
     R_w2c = camera.w2c[:3, :3]
     t_w2c = camera.w2c[:3, 3]
-    p_cam = means3d @ R_w2c.T + t_w2c  # (N, 3)
-    tx, ty, tz = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    mxw, myw, mzw = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    tx = mxw * R_w2c[0, 0] + myw * R_w2c[0, 1] + mzw * R_w2c[0, 2] + t_w2c[0]
+    ty = mxw * R_w2c[1, 0] + myw * R_w2c[1, 1] + mzw * R_w2c[1, 2] + t_w2c[1]
+    tz = mxw * R_w2c[2, 0] + myw * R_w2c[2, 1] + mzw * R_w2c[2, 2] + t_w2c[2]
 
     in_front = tz > NEAR_CULL_Z
     # Keep tz usable for masked-out entries to avoid NaNs poisoning grads.
@@ -82,24 +84,49 @@ def project_gaussians(
 
     fx, fy = camera.fx, camera.fy
     # cov2d = (J W M)(J W M)^T with M = R(q) diag(s). Rather than batched
-    # (N,3,3) matmul chains — which XLA lowers as tiny per-row matmuls at
-    # ~1.6 GFLOP/s on TPU — expand everything to (N,) vector arithmetic.
-    # J rows: [fx/tz, 0, -fx*txz/tz], [0, fy/tz, -fy*tyz/tz]
-    # V = J @ W (2, 3 per gaussian): V0 = (fx W0 - fx*txz W2) / tz, etc.
+    # (N,3,3) matmul chains or batched einsum matvecs — both of which XLA
+    # lowers as tiny per-row matmuls at ~1.6 GFLOP/s on TPU (the r4 fwd
+    # decomposition measured 0.5 ms of the 65k step in this stage) — expand
+    # EVERYTHING, including the rotation application, to (N,) vector
+    # arithmetic. J rows: [fx/tz, 0, -fx*txz/tz], [0, fy/tz, -fy*tyz/tz];
+    # V = J @ W; U = V @ R(q) diag(s); cov2d = U U^T + 0.3 I.
     inv_tz = 1.0 / tz_safe
-    W0, W1, W2 = R_w2c[0], R_w2c[1], R_w2c[2]  # constant (3,) rows
-    v0 = (fx * inv_tz)[:, None] * W0[None] - (fx * txz * inv_tz)[:, None] * W2[None]
-    v1 = (fy * inv_tz)[:, None] * W1[None] - (fy * tyz * inv_tz)[:, None] * W2[None]
+    W = R_w2c  # constant (3, 3)
+    a0 = fx * inv_tz
+    b0 = -fx * txz * inv_tz
+    a1 = fy * inv_tz
+    b1 = -fy * tyz * inv_tz
+    v00 = a0 * W[0, 0] + b0 * W[2, 0]
+    v01 = a0 * W[0, 1] + b0 * W[2, 1]
+    v02 = a0 * W[0, 2] + b0 * W[2, 2]
+    v10 = a1 * W[1, 0] + b1 * W[2, 0]
+    v11 = a1 * W[1, 1] + b1 * W[2, 1]
+    v12 = a1 * W[1, 2] + b1 * W[2, 2]
 
-    Rg = quat_to_rotmat(quats)  # (N, 3, 3) — elementwise quat polynomials
-    # U = V @ (Rg * s): U[i, j] = sum_k V[i, k] Rg[k, j] s[j]
-    u0 = jnp.einsum("nk,nkj->nj", v0, Rg) * scales  # (N, 3)
-    u1 = jnp.einsum("nk,nkj->nj", v1, Rg) * scales
+    qn = quat_normalize(quats)
+    qr, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qr * qz)
+    r02 = 2 * (qx * qz + qr * qy)
+    r10 = 2 * (qx * qy + qr * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qr * qx)
+    r20 = 2 * (qx * qz - qr * qy)
+    r21 = 2 * (qy * qz + qr * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    u00 = (v00 * r00 + v01 * r10 + v02 * r20) * s0
+    u01 = (v00 * r01 + v01 * r11 + v02 * r21) * s1
+    u02 = (v00 * r02 + v01 * r12 + v02 * r22) * s2
+    u10 = (v10 * r00 + v11 * r10 + v12 * r20) * s0
+    u11 = (v10 * r01 + v11 * r11 + v12 * r21) * s1
+    u12 = (v10 * r02 + v11 * r12 + v12 * r22) * s2
 
     # Low-pass dilation: ensure every splat covers at least ~1 pixel.
-    c00 = jnp.sum(u0 * u0, axis=-1) + 0.3
-    c11 = jnp.sum(u1 * u1, axis=-1) + 0.3
-    c01 = jnp.sum(u0 * u1, axis=-1)
+    c00 = u00 * u00 + u01 * u01 + u02 * u02 + 0.3
+    c11 = u10 * u10 + u11 * u11 + u12 * u12 + 0.3
+    c01 = u00 * u10 + u01 * u11 + u02 * u12
 
     det = c00 * c11 - c01 * c01
     invertible = det != 0.0

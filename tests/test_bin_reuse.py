@@ -65,6 +65,47 @@ def test_frozen_bins_match_fresh_under_drift(rng):
     assert bool(jnp.isfinite(g).all())
 
 
+def test_live_tile_compaction_matches_full(rng, monkeypatch):
+    """Frozen-bin live-tile compaction: outputs and grads identical to the
+    full-grid path, in BOTH cond branches (n_live <= cap and the fallback)."""
+    import importlib
+
+    R = importlib.import_module("gsdx.render.rasterize")
+    H, W = 96, 256  # 12 tiles at 16x128
+    k = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]], np.float32)
+    cam = make_camera(k, np.eye(4, dtype=np.float32), width=W, height=H,
+                      bg=(0.2, 0.3, 0.4))
+    cfg = RasterizeConfig(binning="nosort")
+    means, quats, scales, opac, colors = _scene(rng, n=300)
+    # concentrate the scene so some tiles stay empty
+    means = means * jnp.asarray([0.3, 0.3, 1.0])
+    bins = jax.jit(lambda *a: compute_bins(
+        *a, cam, cfg, margin_px=4.0))(means, quats, scales)
+    n_live = int(bins.n_live)
+    assert 0 < n_live < 12
+
+    def run(cap):
+        monkeypatch.setattr(R, "LIVE_COMPACT_CAP", cap)
+
+        def loss(m):
+            o = R.rasterize(m, quats, scales, opac, colors, cam, cfg,
+                            bins=bins)
+            return o.im.mean() + o.final_t.mean(), o
+        (v, o), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(means)
+        return o, g
+
+    o_full, g_full = run(10**6)  # cap > T: compaction disabled entirely
+    o_comp, g_comp = run(n_live)  # compact branch fires (n_live <= cap < T)
+    o_fall, g_fall = run(max(1, n_live - 1))  # fallback branch (live > cap)
+    for o, g in ((o_comp, g_comp), (o_fall, g_fall)):
+        np.testing.assert_allclose(np.asarray(o.im), np.asarray(o_full.im),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o.final_t),
+                                   np.asarray(o_full.final_t), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_full),
+                                   atol=1e-6)
+
+
 @pytest.mark.slow  # convergence-quality e2e; the drift-parity test is fast
 def test_tracking_fit_frozen_vs_fresh_psnr(rng):
     """t>0 fit with bin_refresh reuse converges like the per-iter-rebuild

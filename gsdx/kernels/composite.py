@@ -386,27 +386,6 @@ def _bwd_kernel(
         dalpha = t_before * dldw - (b_k + g_logt) / one_m
         dalpha = jnp.where(alpha > 0, dalpha, 0.0)
 
-        # q = dalpha * e on unclamped covers: dop = sum_p q;
-        # dpower = opacity * q, contracted against the moment basis
-        q = dalpha * jnp.where(pgate, e, 0.0)
-        mom = jax.lax.dot_general(
-            basis, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # (6, SUB)
-        m0, m1x, m1y, m2xx, m2xy, m2yy = (mom[0:1], mom[1:2], mom[2:3],
-                                          mom[3:4], mom[4:5], mom[5:6])
-        mx = cf[0:1, :] - cx  # (1, SUB) tile-local mean
-        my = cf[1:2, :] - cy
-        ca = cf[2:3, :]
-        cb = cf[3:4, :]
-        cc = cf[4:5, :]
-        op = cf[5:6, :]
-        s_dx = m1x - mx * m0  # sum_p q * dx, etc.
-        s_dy = m1y - my * m0
-        s_dx2 = m2xx - 2.0 * mx * m1x + mx * mx * m0
-        s_dxy = m2xy - mx * m1y - my * m1x + mx * my * m0
-        s_dy2 = m2yy - 2.0 * my * m1y + my * my * m0
-
         # color/depth grads: contraction over pixels
         dcol = jax.lax.dot_general(
             w,
@@ -415,14 +394,95 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (SUB, n_accum)
 
-        gsub = jnp.concatenate(
-            [
+        if sub >= 128:
+            # moment form (big granules): dop = sum_p q with q = dalpha*e on
+            # unclamped covers; dpower = opacity*q contracted against the
+            # tile-local basis in ONE matmul. Two HI matmuls per sub-chunk of
+            # fixed cost — a win at sub=128 (measured -0.28 ms at 65k), a
+            # LOSS at sub=64 where the fixed costs double per tile (5k
+            # per-dispatch/t0 regressed ~8% before this gate).
+            q = dalpha * jnp.where(pgate, e, 0.0)
+            mom = jax.lax.dot_general(
+                basis, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # (6, SUB)
+            m0, m1x, m1y, m2xx, m2xy, m2yy = (mom[0:1], mom[1:2], mom[2:3],
+                                              mom[3:4], mom[4:5], mom[5:6])
+            mx = cf[0:1, :] - cx  # (1, SUB) tile-local mean
+            my = cf[1:2, :] - cy
+            ca = cf[2:3, :]
+            cb = cf[3:4, :]
+            cc = cf[4:5, :]
+            op = cf[5:6, :]
+            s_dx = m1x - mx * m0  # sum_p q * dx, etc.
+            s_dy = m1y - my * m0
+            s_dx2 = m2xx - 2.0 * mx * m1x + mx * mx * m0
+            s_dxy = m2xy - mx * m1y - my * m1x + mx * my * m0
+            s_dy2 = m2yy - 2.0 * my * m1y + my * my * m0
+            rows = [
                 op * (ca * s_dx + cb * s_dy),  # d mean_x = -rsum(ddx)
                 op * (cc * s_dy + cb * s_dx),  # d mean_y
                 op * (-0.5) * s_dx2,  # d conic_a
                 op * (-1.0) * s_dxy,  # d conic_b
                 op * (-0.5) * s_dy2,  # d conic_c
                 m0,  # d opacity
+            ]
+            # assemble via broadcast-select, NOT an 8-way concat of (1, SUB)
+            # row slices: the mom/cf slices carry distinct sublane/lane
+            # offsets and Mosaic's tpu.concatenate rejects offset-mismatched
+            # inputs (hit on hardware; interpret mode doesn't see layouts)
+            riota = jax.lax.broadcasted_iota(jnp.int32, (6, sub), 0)
+            top = rows[0] * (riota == 0)
+            for i in range(1, 6):
+                top = top + rows[i] * (riota == i)
+            # canonicalize the block's vector layout through a tiny identity
+            # matmul (sub-chunk h > 0 data sits at lane offset h*sub from
+            # the aligned-load switch slice; MXU outputs are canonical).
+            # HIGHEST: f32 gradients — one-pass bf16 would truncate.
+            eye6 = (jax.lax.broadcasted_iota(jnp.int32, (6, 6), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (6, 6), 1)
+                    ).astype(jnp.float32)
+            top = jax.lax.dot_general(
+                eye6, top, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            gsub = jnp.concatenate(
+                [
+                    top,  # (6, SUB)
+                    dcol.T,  # (n_accum, SUB): d colors..., depth
+                    jnp.zeros((FEAT_DIM - 6 - n_accum, sub), jnp.float32),
+                ],
+                axis=0,
+            )  # (FEAT_DIM, SUB)
+            return gsub, s_after + cum[-1:, :], b_after + cw[-1:, :]
+
+        # elementwise form (fine granules): direct (SUB, P) products +
+        # row reductions — no per-sub-chunk fixed matmul costs
+        dx = px - cf[0, :][:, None]
+        dy = py - cf[1, :][:, None]
+        op = cf[5, :][:, None]
+        pre = op * e
+        dop = dalpha * jnp.where(pgate, e, 0.0)
+        dpower = dalpha * jnp.where(pgate, pre, 0.0)
+        ca = cf[2, :][:, None]
+        cb = cf[3, :][:, None]
+        cc = cf[4, :][:, None]
+        da = dpower * (-0.5 * dx * dx)
+        db = dpower * (-dx * dy)
+        dc = dpower * (-0.5 * dy * dy)
+        ddx = dpower * (-ca * dx - cb * dy)
+        ddy = dpower * (-cc * dy - cb * dx)
+
+        def rsum(x):  # (SUB, P) -> row (1, SUB)
+            return jnp.sum(x, axis=1)[None, :]
+
+        gsub = jnp.concatenate(
+            [
+                rsum(-ddx),  # d mean_x
+                rsum(-ddy),  # d mean_y
+                rsum(da),
+                rsum(db),
+                rsum(dc),
+                rsum(dop),
                 dcol.T,  # (n_accum, SUB): d colors..., depth
                 jnp.zeros((FEAT_DIM - 6 - n_accum, sub), jnp.float32),
             ],

@@ -100,6 +100,13 @@ class RasterizeConfig(NamedTuple):
     # variant (opt-in). All produce bit-identical bins.
     # "nosort": original-order binning + in-kernel per-tile depth sort
     binning: str = "auto"  # "auto"|"sort"|"mask"|"blocksearch"|"unsorted"|"nosort"
+    # K-overflow depth-threshold resolution for the unsorted/nosort binners
+    # (`bin_gaussians_unsorted`): overflow tiles keep covers up to the bucket
+    # that cumulatively holds K. More buckets = tighter approximate
+    # nearest-K on very dense scenes (>=30k live: 256 buckets cost up to
+    # ~1 dB vs exact nearest-K, see benchmarks/drive_koverflow.py); the
+    # histogram is one (T,N)@(N,D) bf16 matmul, so the cost is ~linear in D.
+    depth_buckets: int = 256
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":
@@ -361,6 +368,7 @@ def compute_bins(
         jax.lax.stop_gradient(proj.depth),
         proj.mask, grid,
         max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+        depth_buckets=cfg.depth_buckets,
         with_inverse=n <= BWD_INVMAP_MAX_N,
     )
     # live-first tile order for the compaction fast path (a ~450-key sort,
@@ -435,6 +443,7 @@ def rasterize(
         # the compositor sorts columns in VMEM (`_presort_onehot`).
         bins = bin_gaussians_unsorted(
             *bin_args, max_per_tile=cfg.max_per_tile, max_dup=cfg.max_dup,
+            depth_buckets=cfg.depth_buckets,
             with_inverse=n <= BWD_INVMAP_MAX_N,
         )
         if binning == "unsorted":

@@ -40,6 +40,13 @@ class DensifyConfig(NamedTuple):
     scale_scene_radius: float = 0.05  # clone/split size boundary (`train_gs.py:64`)
     big_point_ws: float = 0.1  # prune scale fraction after iter 3000
     split_n: int = 2
+    # Schedule (reference `external.py:243-293`): clone/split/prune every
+    # `interval` iters in [start, end]; opacity reset every `reset_interval`
+    # iters while i <= end (0 disables the reset).
+    start: int = 500
+    interval: int = 100
+    end: int = 5000
+    reset_interval: int = 3000
 
 
 _GAUSS_FIELDS = (
@@ -160,12 +167,13 @@ def densify_step(
 
     # ---- prune ----------------------------------------------------------
     opac = jax.nn.sigmoid(params.logit_opacities[:, 0])
-    thresh = jnp.where(i == 5000, cfg.remove_thresh_5k, cfg.remove_thresh)
+    thresh = jnp.where(i == cfg.end, cfg.remove_thresh_5k, cfg.remove_thresh)
     to_remove = opac < thresh
     big_ws = jnp.max(jnp.exp(params.log_scales), axis=1) > (
         cfg.big_point_ws * variables.scene_radius
     )
-    to_remove = jnp.where(i >= 3000, to_remove | big_ws, to_remove)
+    to_remove = jnp.where(i >= cfg.reset_interval, to_remove | big_ws,
+                          to_remove)
     new_live = params.live * (1.0 - to_remove.astype(jnp.float32))
     params = params.replace(live=new_live)
 

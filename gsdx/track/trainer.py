@@ -138,22 +138,26 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
             )
 
             if is_initial:
+                dcfg = cfg.densify
                 variables = jax.lax.cond(
-                    i <= 5000,
+                    i <= dcfg.end,
                     lambda v: accumulate_densify_stats(
                         v, g_m2d, aux.seen, aux.radius, cams.width, cams.height
                     ),
                     lambda v: v,
                     variables,
                 )
-                do_densify = (i >= 500) & (i % 100 == 0) & (i <= 5000)
+                do_densify = ((i >= dcfg.start) & (i % dcfg.interval == 0)
+                              & (i <= dcfg.end))
                 params, variables, opt_state = jax.lax.cond(
                     do_densify,
                     lambda p, v, o: densify_step(p, v, o, key, i, cfg.densify),
                     lambda p, v, o: (p, v, o),
                     params, variables, opt_state,
                 )
-                do_reset = (i > 0) & (i % 3000 == 0) & (i <= 5000)
+                do_reset = ((dcfg.reset_interval > 0) & (i > 0)
+                            & (i % max(dcfg.reset_interval, 1) == 0)
+                            & (i <= dcfg.end))
                 params, opt_state = jax.lax.cond(
                     do_reset,
                     lambda p, o: reset_opacities(p, o),

@@ -191,3 +191,50 @@ def test_ragged_segmented_fit_matches_single_dispatch(rng):
     np.testing.assert_array_equal(np.asarray(logs_a["loss"]),
                                   np.asarray(logs_b["loss"]))
     assert logs_b["loss"].shape == (23,)
+
+
+def test_densify_schedule_knobs(rng):
+    """DensifyConfig.{start,interval,end,reset_interval} drive the trainer's
+    densify/reset gating (reference hard-codes 500/100/5000/3000,
+    `external.py:243-293`; the knobs exist for denser-than-production
+    stress fits, e.g. benchmarks/drive_koverflow.py)."""
+    pt_cld = make_gt_scene(rng)
+    cams = make_cams()
+    ims, segs = render_targets(pt_cld, cams)
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=256)
+    variables = init_tracking_variables(params.capacity, num_knn=8,
+                                        scene_radius=1.0)
+    adam = GroupAdam()
+    lrs = tracking_lrs(1.0, post_first_timestep=False)
+    order = camera_order(25, 3, np.random.default_rng(0))
+    key = jax.random.PRNGKey(0)
+
+    def fit_with(dcfg):
+        cfg = TrackingConfig(iters_first=25, num_knn=8, raster=CFG_RASTER,
+                             densify=dcfg)
+        fit = make_fit_timestep(cfg, is_initial=True, num_iters=25)
+        return fit(params, adam.init(params), variables, lrs, cams, ims,
+                   segs, order, key)
+
+    # reset fires at i=20 (reset_interval=20 <= end) -> all live opacities
+    # snap to logit(0.01) and stay near it 5 iters later
+    p_reset, _, _, _ = fit_with(DensifyConfig(
+        start=10, interval=10, end=24, reset_interval=20,
+        grad_thresh=1e9))  # grad_thresh huge: no clone/split noise
+    opac = jax.nn.sigmoid(np.asarray(p_reset.logit_opacities)[:, 0])
+    live = np.asarray(p_reset.live) > 0
+    assert opac[live].max() < 0.05, opac[live].max()
+
+    # reset_interval=0 disables the reset entirely: opacities keep training
+    p_nores, _, _, _ = fit_with(DensifyConfig(
+        start=10, interval=10, end=24, reset_interval=0, grad_thresh=1e9))
+    opac2 = jax.nn.sigmoid(np.asarray(p_nores.logit_opacities)[:, 0])
+    live2 = np.asarray(p_nores.live) > 0
+    assert opac2[live2].max() > 0.5, opac2[live2].max()
+
+    # a window that never opens (start > num_iters) leaves the live count
+    # at the init value even with a zero grad threshold
+    p_closed, _, _, _ = fit_with(DensifyConfig(
+        start=100, interval=10, end=24, reset_interval=0, grad_thresh=0.0))
+    assert int(np.asarray(p_closed.live).sum()) == len(pt_cld)

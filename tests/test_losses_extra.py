@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsdx.core.gaussians import init_gaussian_params, init_tracking_variables
 from gsdx.kernels.knn import knn
@@ -32,6 +33,7 @@ def test_ssim_identical_images():
     assert float(calc_ssim(img, img)) > 0.999
 
 
+@pytest.mark.slow
 def test_fused_matches_two_pass_loss(rng):
     pt_cld = make_gt_scene(rng, n=40)
     cams = make_cams()

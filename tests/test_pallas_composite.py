@@ -8,6 +8,7 @@ bench.py and the driver compile check.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsdx.core.cameras import make_camera
 from gsdx.render.rasterize import RasterizeConfig, rasterize
@@ -81,6 +82,7 @@ def test_pallas_bwd_matches_reference_grads(rng):
                                    err_msg=f"pallas grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_nosort_inkernel_presort_matches_sorted(rng):
     """binning="nosort" (unordered lists + in-kernel depth-rank one-hot
     sort) matches the sort-binning reference exactly — outputs and grads,
@@ -116,6 +118,7 @@ def test_nosort_inkernel_presort_matches_sorted(rng):
                                        np.asarray(gr) / scale, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_early_stop_fires_and_grads_match(rng):
     """Tile-level early termination: on a saturating scene the kernel stops
     early (nproc < nchunks), outputs stay within the 1e-4 reference bound of

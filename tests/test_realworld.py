@@ -135,6 +135,7 @@ def test_fake_camera_process():
         rig.stop()
 
 
+@pytest.mark.slow
 def test_fake_env_and_perception(rng):
     from gsdx.realworld.env import FakeEnv, FakeEnvConfig
     from gsdx.realworld.perception import PerceptionModule

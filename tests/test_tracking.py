@@ -83,7 +83,7 @@ def test_fit_initial_timestep_improves_psnr(rng):
     variables = init_tracking_variables(params.capacity, num_knn=8, scene_radius=1.0)
 
     cfg = TrackingConfig(
-        iters_first=150, iters_rest=40, num_knn=8,
+        iters_first=90, iters_rest=25, num_knn=8,
         raster=CFG_RASTER,
         densify=DensifyConfig(),
     )

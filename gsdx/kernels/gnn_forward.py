@@ -278,6 +278,11 @@ def fused_gnn_forward(packed: PackedGNN, attrs, action, state_t, g,
         *ins, out_ref = refs
         kernel(*ins, out_ref=out_ref)
 
+    # The cloth/sloth family (n_pad=256, E=1200) sits 28 KB above Mosaic's
+    # default 16 MB scoped-VMEM limit; raise the limit for the double-pad
+    # shape (measured peak ~16.03 MB — still a fraction of physical VMEM).
+    params = (pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
+              if n_pad > N_PAD else None)
     return pl.pallas_call(
         wrapped,
         grid=(B,),
@@ -292,6 +297,7 @@ def fused_gnn_forward(packed: PackedGNN, attrs, action, state_t, g,
         ],
         out_specs=sample_spec((n_pad, 8)),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, 8), jnp.float32),
+        compiler_params=params,
         interpret=interpret,
     )(attrs, action, state_t, g, recv_idx, send_idx, *packed)
 

@@ -42,11 +42,14 @@ class DensifyConfig(NamedTuple):
     split_n: int = 2
     # Schedule (reference `external.py:243-293`): clone/split/prune every
     # `interval` iters in [start, end]; opacity reset every `reset_interval`
-    # iters while i <= end (0 disables the reset).
+    # iters while i <= end (0 disables the reset); big-point pruning starts
+    # at `big_point_start` (a separate constant from the reset cadence in the
+    # reference, `external.py:283`).
     start: int = 500
     interval: int = 100
     end: int = 5000
     reset_interval: int = 3000
+    big_point_start: int = 3000
 
 
 _GAUSS_FIELDS = (
@@ -167,12 +170,17 @@ def densify_step(
 
     # ---- prune ----------------------------------------------------------
     opac = jax.nn.sigmoid(params.logit_opacities[:, 0])
-    thresh = jnp.where(i == cfg.end, cfg.remove_thresh_5k, cfg.remove_thresh)
+    # The aggressive final threshold applies on the LAST densify step of the
+    # schedule (the reference's i == 5000 with its 100-iter cadence); gating
+    # on the last multiple of `interval` <= end keeps it effective for
+    # schedules where end % interval != 0.
+    final_i = (cfg.end // max(cfg.interval, 1)) * cfg.interval
+    thresh = jnp.where(i == final_i, cfg.remove_thresh_5k, cfg.remove_thresh)
     to_remove = opac < thresh
     big_ws = jnp.max(jnp.exp(params.log_scales), axis=1) > (
         cfg.big_point_ws * variables.scene_radius
     )
-    to_remove = jnp.where(i >= cfg.reset_interval, to_remove | big_ws,
+    to_remove = jnp.where(i >= cfg.big_point_start, to_remove | big_ws,
                           to_remove)
     new_live = params.live * (1.0 - to_remove.astype(jnp.float32))
     params = params.replace(live=new_live)

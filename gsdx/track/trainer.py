@@ -93,6 +93,11 @@ def make_fit_timestep(cfg: TrackingConfig, is_initial: bool, num_iters: int):
     in-scan refresh LOSES ~0.3 ms/iter to fusion splitting — hence block
     boundaries, not conds.
     """
+    if is_initial and cfg.densify.interval < 1:
+        raise ValueError(
+            f"DensifyConfig.interval must be >= 1, got {cfg.densify.interval}"
+            " (the densify cadence is i % interval == 0)"
+        )
     adam = GroupAdam()
 
     def loss_fn(params, m2d, cam, im, seg, variables, bins):

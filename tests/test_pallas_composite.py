@@ -82,6 +82,37 @@ def test_pallas_bwd_matches_reference_grads(rng):
                                    err_msg=f"pallas grad mismatch: {name}")
 
 
+def test_nosort_parity_fast(rng):
+    """Fast-tier coverage of the production binning path (nosort is
+    auto-selected for N>8192): reduced-size fwd+bwd exactness of the Pallas
+    in-kernel depth-rank sort vs the sort-binning reference. The full
+    multi-config sweep (XLA twin + sub_chunk variants) stays @slow."""
+    means, quats, scales, opac, colors = make_scene(rng, n=40)
+    cam = make_cam()
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+    target = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)).astype(np.float32))
+
+    def loss_with_im(cfg, *a):
+        out = rasterize(*a, cam, cfg)
+        return (jnp.abs(out.im - target).mean()
+                + 0.1 * jnp.abs(out.depth).mean()), out.im
+
+    ref_cfg = XLA._replace(binning="sort")
+    cfg = PALLAS._replace(binning="nosort")
+    # one compile per config: value+grad+image together
+    (_, im_ref), g_ref = jax.jit(jax.value_and_grad(
+        lambda *a: loss_with_im(ref_cfg, *a), argnums=tuple(range(5)),
+        has_aux=True))(*args)
+    (_, im), g = jax.jit(jax.value_and_grad(
+        lambda *a: loss_with_im(cfg, *a), argnums=tuple(range(5)),
+        has_aux=True))(*args)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(im_ref), atol=1e-5)
+    for gp, gr in zip(g, g_ref):
+        scale = np.abs(np.asarray(gr)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gp) / scale,
+                                   np.asarray(gr) / scale, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_nosort_inkernel_presort_matches_sorted(rng):
     """binning="nosort" (unordered lists + in-kernel depth-rank one-hot

@@ -7,6 +7,7 @@ optimization (`report_progress`, `src/tracking/train_utils.py:377-384`).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsdx.core.cameras import make_camera
 from gsdx.core.gaussians import init_gaussian_params, init_tracking_variables
@@ -158,10 +159,13 @@ def test_segmented_fit_matches_single_dispatch(rng):
     assert logs_b["loss"].shape == (24,)
 
 
+@pytest.mark.slow
 def test_ragged_segmented_fit_matches_single_dispatch(rng):
     """num_iters with no divisor near the cap (23 prime) splits as 8+8+7 —
     a shorter final segment, NOT degenerate one-iteration dispatches — and
-    stays bit-identical to the unsegmented fit (t>0 uses no PRNG)."""
+    stays bit-identical to the unsegmented fit (t>0 uses no PRNG).
+    Slow-marked (fast-tier budget): the even-segment path stays fast via
+    test_segmented_fit_matches_single_dispatch."""
     pt_cld = make_gt_scene(rng)
     cams = make_cams()
     ims, segs = render_targets(pt_cld, cams)
@@ -226,6 +230,30 @@ def test_densify_schedule_knobs(rng):
     live = np.asarray(p_reset.live) > 0
     assert opac[live].max() < 0.05, opac[live].max()
 
+
+@pytest.mark.slow
+def test_densify_schedule_knobs_extended(rng):
+    """Each DensifyConfig variant is a separate fit compile (~7s) — the
+    reset-fires case stays in the fast tier above; these two are slow."""
+    pt_cld = make_gt_scene(rng)
+    cams = make_cams()
+    ims, segs = render_targets(pt_cld, cams)
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=256)
+    variables = init_tracking_variables(params.capacity, num_knn=8,
+                                        scene_radius=1.0)
+    adam = GroupAdam()
+    lrs = tracking_lrs(1.0, post_first_timestep=False)
+    order = camera_order(25, 3, np.random.default_rng(0))
+    key = jax.random.PRNGKey(0)
+
+    def fit_with(dcfg):
+        cfg = TrackingConfig(iters_first=25, num_knn=8, raster=CFG_RASTER,
+                             densify=dcfg)
+        fit = make_fit_timestep(cfg, is_initial=True, num_iters=25)
+        return fit(params, adam.init(params), variables, lrs, cams, ims,
+                   segs, order, key)
+
     # reset_interval=0 disables the reset entirely: opacities keep training
     p_nores, _, _, _ = fit_with(DensifyConfig(
         start=10, interval=10, end=24, reset_interval=0, grad_thresh=1e9))
@@ -238,3 +266,50 @@ def test_densify_schedule_knobs(rng):
     p_closed, _, _, _ = fit_with(DensifyConfig(
         start=100, interval=10, end=24, reset_interval=0, grad_thresh=0.0))
     assert int(np.asarray(p_closed.live).sum()) == len(pt_cld)
+
+
+def test_densify_step_gating(rng):
+    """Unit-level gating of densify_step (no fit compile): big-point prune
+    starts at `big_point_start` (NOT reset_interval — ADVICE r4), and the
+    aggressive final threshold lands on the last interval multiple <= end
+    even when end % interval != 0."""
+    from gsdx.track.densify import densify_step
+
+    pt_cld = make_gt_scene(rng)
+    d, _ = knn(jnp.asarray(pt_cld[:, :3]), 3)
+    params = init_gaussian_params(pt_cld, np.asarray(d).mean(-1), capacity=256)
+    # one oversized live gaussian (scale > big_point_ws * scene_radius)
+    params = params.replace(
+        log_scales=params.log_scales.at[0].set(jnp.log(0.5)))
+    variables = init_tracking_variables(params.capacity, num_knn=8,
+                                        scene_radius=1.0)
+    adam = GroupAdam()
+    opt_state = adam.init(params)
+    key = jax.random.PRNGKey(0)
+
+    step = jax.jit(densify_step, static_argnames="cfg")
+
+    # reset_interval=0 must NOT enable big-point pruning from iter 0
+    cfg0 = DensifyConfig(reset_interval=0, grad_thresh=1e9)
+    p0, _, _ = step(params, variables, opt_state, key,
+                    jnp.asarray(500, jnp.int32), cfg0)
+    assert p0.live[0] > 0, "big-point prune fired before big_point_start"
+
+    # ... and fires once i >= big_point_start
+    p1, _, _ = step(params, variables, opt_state, key,
+                    jnp.asarray(3000, jnp.int32), cfg0)
+    assert p1.live[0] == 0, "big-point prune missing at big_point_start"
+
+    # aggressive final threshold with end % interval != 0: fires at the
+    # last multiple of interval <= end (200), not at i == end (250, never
+    # a densify iteration)
+    cfg1 = DensifyConfig(interval=100, end=250, remove_thresh=0.0,
+                         remove_thresh_5k=0.99, grad_thresh=1e9,
+                         big_point_start=10**9)
+    base_live = int(jnp.sum(params.live > 0))
+    p2, _, _ = step(params, variables, opt_state, key,
+                    jnp.asarray(100, jnp.int32), cfg1)
+    assert int(jnp.sum(p2.live > 0)) == base_live  # mid-schedule: thresh 0.0
+    p3, _, _ = step(params, variables, opt_state, key,
+                    jnp.asarray(200, jnp.int32), cfg1)
+    assert int(jnp.sum(p3.live > 0)) < base_live  # final step: 0.99 prunes

@@ -136,8 +136,11 @@ def test_train_cli_main(train_tree):
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params))
 
 
+@pytest.mark.slow
 def test_train_cli_dp(train_tree):
-    """--dp path: data-parallel over the virtual 8-device CPU mesh."""
+    """--dp path: data-parallel over the virtual 8-device CPU mesh.
+    Slow-marked (fast-tier budget): the DP step math itself is fast-tier
+    covered by tests/test_dist.py::test_dp_train_step_matches_single_device."""
     from gsdx.apps.train import main
 
     cfg_path, out_dir = train_tree

@@ -87,16 +87,35 @@ def rewards_of(rollout_fn):
                     state_cur)["reward_seqs"]
 
 
+roll_twin = make_batched_rollout(model, spec._replace(fused="twin"))
 r_on = np.asarray(jax.jit(lambda: rewards_of(rollout_raw))())
 r_off = np.asarray(jax.jit(lambda: rewards_of(roll_off))())
+# fused-vs-TWIN isolates kernel execution: the twin runs IDENTICAL math as
+# the Pallas kernel through plain XLA (bit-exact at forward scale per
+# probe_fused_cloth_tpu.py); fused-vs-off additionally sees bf16 weight
+# regrouping amplified through ~19 chained pushes of the untrained net.
+r_tw = np.asarray(jax.jit(lambda: rewards_of(roll_twin))())
+scale = max(1.0, float(np.abs(r_on).max()))  # cloth rewards are O(1e3)
 dvec = np.abs(r_on - r_off)
+dtw = np.abs(r_on - r_tw)
 d_best = abs(r_on.max() - r_off.max())
 argmax_same = bool(r_on.argmax() == r_off.argmax())
-print(f"parity (fixed 1000-sample batch): best {r_on.max():.4f} vs "
-      f"{r_off.max():.4f} (|d| {d_best:.2e}); fused-vs-off |delta| median "
+print(f"parity (fixed 1000-sample batch, reward scale {scale:.0f}): best "
+      f"{r_on.max():.4f} vs {r_off.max():.4f} (|d| {d_best:.2e} = "
+      f"{d_best/scale:.2e} rel); fused-vs-off |delta| median "
       f"{np.median(dvec):.2e} p95 {np.quantile(dvec, 0.95):.2e} max "
-      f"{dvec.max():.2e}; argmax same: {argmax_same}", flush=True)
-assert d_best < 0.1, d_best
+      f"{dvec.max():.2e}; fused-vs-TWIN median {np.median(dtw):.2e} max "
+      f"{dtw.max():.2e}; argmax same: {argmax_same}", flush=True)
+assert d_best / scale < 0.01, (d_best, scale)
+assert argmax_same
+# Unlike the rope scene (random cloud; fused-vs-twin median EXACTLY 0 on
+# chip), the cloth sheet is a near-regular lattice: adjacency distances are
+# densely near-tied, so 1-ulp fusion differences in the per-push edge
+# rebuild (outside the kernel — the kernel is bit-exact vs the twin at
+# forward scale, probe_fused_cloth_tpu.py) flip top-k edges for most
+# samples somewhere in the ~19-push chain. Measured median 4.2e-1 of a
+# 6.3e3 reward scale = 6.7e-5 relative.
+assert np.median(dtw) / scale < 1e-3, (np.median(dtw), scale)
 
 # ---- full planning step (10 iters x 1000 samples), fused vs off ------------
 results = {}
@@ -126,10 +145,14 @@ for name, rollout_fn in (("fused_auto", rollout_raw), ("fused_off", roll_off)):
 report = {
     "config": "cloth (connect_all, max_nobj 150, max_nR 1200, topk 6, "
               "state_dim 1, motion_dim 3)",
-    "parity": {"best_abs_delta": round(float(d_best), 6),
+    "parity": {"reward_scale": round(scale, 2),
+               "best_abs_delta": round(float(d_best), 6),
+               "best_rel_delta": round(float(d_best / scale), 8),
                "median_abs_delta": round(float(np.median(dvec)), 6),
                "p95_abs_delta": round(float(np.quantile(dvec, 0.95)), 6),
                "max_abs_delta": round(float(dvec.max()), 6),
+               "fused_vs_twin_median": round(float(np.median(dtw)), 8),
+               "fused_vs_twin_max": round(float(dtw.max()), 6),
                "argmax_same": argmax_same},
     "planning_step": results,
 }

@@ -85,8 +85,12 @@ def evaluate(state_seqs, act_seqs, state_cur):
 init = jnp.zeros((1, 4)).at[0, 3].set(10.0)
 results = {}
 for ptype, time_iters in (("MPPI", 3), ("GD", 2)):
+    # GD differentiates through the full rollout: 1000 x ~19-push BPTT
+    # activations are ~40 GB, so GD runs in 125-sample chunks (exact up to
+    # gemm accumulation order; MPPIConfig.gd_sample_chunk).
     planner = Planner(
-        MPPIConfig(n_sample=1000, planner_type=ptype, lr=1e-2),
+        MPPIConfig(n_sample=1000, planner_type=ptype, lr=1e-2,
+                   gd_sample_chunk=125),
         model_rollout, evaluate)
     out = planner.trajectory_optimization(jax.random.PRNGKey(0), state_cur,
                                           init)

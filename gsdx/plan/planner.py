@@ -28,6 +28,12 @@ class MPPIConfig(NamedTuple):
     action_upper_lim: tuple = (0.5, 0.5, np.pi, 20.0)
     planner_type: str = "MPPI"  # "MPPI" | "GD" (`planner.py:84-90`)
     lr: float = 1e-3  # GD learning rate (`planner.py:117`)
+    # GD memory control: differentiate through the rollout in chunks of this
+    # many samples (0 = whole batch). GD grads decouple per sample (the
+    # objective is a mean over samples), so chunking is exact up to batched-
+    # gemm accumulation order. At rope scale, 1000-sample x ~19-push BPTT
+    # needs ~40 GB of activations — 4x v5e HBM; 128-sample chunks fit.
+    gd_sample_chunk: int = 0
 
 
 class Planner:
@@ -158,12 +164,21 @@ class Planner:
             iter_index=0, noise_level=cfg.noise_level,
             push_length=cfg.push_length,
         )
-        opt_state = self._gd_tx.init(act_seqs)
-        rewards = None
-        for _ in range(cfg.n_update_iter):
-            act_seqs, opt_state, rewards = self._gd_step(
-                act_seqs, opt_state, state_cur
-            )
+        chunk = cfg.gd_sample_chunk or cfg.n_sample
+        assert cfg.n_sample % chunk == 0, (cfg.n_sample, chunk)
+        out_acts, out_rewards = [], []
+        for c0 in range(0, cfg.n_sample, chunk):
+            acts_c = act_seqs[c0:c0 + chunk]
+            opt_state = self._gd_tx.init(acts_c)
+            rewards = None
+            for _ in range(cfg.n_update_iter):
+                acts_c, opt_state, rewards = self._gd_step(
+                    acts_c, opt_state, state_cur
+                )
+            out_acts.append(acts_c)
+            out_rewards.append(rewards)
+        act_seqs = jnp.concatenate(out_acts, axis=0)
+        rewards = jnp.concatenate(out_rewards, axis=0)
         idx = jnp.argmax(rewards)
         return {"act_seq": act_seqs[idx], "best_reward": rewards[idx]}
 

@@ -137,6 +137,49 @@ def test_gd_planner_on_toy(rng):
     assert float(res["best_reward"]) > pre
 
 
+def test_gd_planner_sample_chunking(rng):
+    """gd_sample_chunk splits the GD batch for memory (1000x19-push BPTT is
+    ~40 GB at rope scale); samples decouple in the mean-reward objective and
+    Adam is elementwise + scale-normalized, so chunked optimization lands at
+    the same optimum (the only difference is the 1/B vs 1/chunk grad scale,
+    which Adam's m/sqrt(v) normalization absorbs)."""
+    cluster = jnp.asarray(rng.normal(scale=0.03, size=(16, 3)).astype(np.float32))
+    target = cluster + jnp.array([0.1, 0.0, 0.0])
+
+    def toy_rollout(state_cur, act_seqs):
+        decoded, repeats = decode_action(act_seqs, 0.01)
+        start = decoded[:, :, :2]
+        d = jnp.linalg.norm(
+            start[:, :, None] - state_cur[None, None, :, :2], axis=-1).min(-1)
+        near = jax.nn.sigmoid((0.15 - d) * 50.0)[..., None]
+        unit = jnp.stack(
+            [decoded[:, :, 2] - decoded[:, :, 0],
+             decoded[:, :, 3] - decoded[:, :, 1],
+             jnp.zeros_like(decoded[:, :, 0])], axis=-1)
+        move = unit * act_seqs[..., 3:4] * near
+        state_seqs = state_cur[None, None] + move[:, :, None, :]
+        return {"state_seqs": state_seqs, "action_seqs": decoded}
+
+    bbox = jnp.array([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]])
+
+    def evaluate(state_seqs, action_seqs, state_cur):
+        return running_cost(state_seqs, action_seqs, state_cur, target, bbox)
+
+    from gsdx.plan.planner import MPPIConfig, Planner
+    base = dict(n_sample=32, n_update_iter=6, planner_type="GD", lr=0.02,
+                action_lower_lim=(-0.4, -0.4, -np.pi, 5.0),
+                action_upper_lim=(0.4, 0.4, np.pi, 20.0))
+    init = jnp.zeros((1, 4)).at[0, 3].set(10.0)
+    res_full = Planner(MPPIConfig(**base), toy_rollout, evaluate
+                       ).trajectory_optimization(
+        jax.random.PRNGKey(3), cluster, init)
+    res_chunk = Planner(MPPIConfig(**base, gd_sample_chunk=8), toy_rollout,
+                        evaluate).trajectory_optimization(
+        jax.random.PRNGKey(3), cluster, init)
+    np.testing.assert_allclose(float(res_chunk["best_reward"]),
+                               float(res_full["best_reward"]), rtol=0.05)
+
+
 def test_gd_planner_through_gnn_fused_rollout(rng):
     """GD planning differentiates through the batched GNN rollout; the fused
     Pallas forward has no VJP (`pl.pallas_call` cannot be linearized), so the

@@ -78,7 +78,14 @@ class RasterizeConfig(NamedTuple):
     (radius <= ~50 px at 16x128 tiles).
     """
 
-    tile_h: int = 16
+    # 0 = auto by static N: 32 below ~BINNING_AUTO_N, 16 above. The
+    # compositor is bound by a ~2-3 us FIXED cost per (tile, sub-chunk)
+    # granule (benchmarks/probe_transcendental.py), so taller tiles amortize
+    # it: 5k/720p fwd+bwd scan measured 353.6 Mpix/s at tile_h=32/sub 64 vs
+    # 250.9 at 16 (+41%, benchmarks/probe_tile32.py). At 65k it LOSES (193.5
+    # vs 206.7: saturated tiles early-stop later when a granule must wait on
+    # 4096 pixels, and K-overflow doubles) — hence the N-gated auto.
+    tile_h: int = 0
     tile_w: int = 128
     max_per_tile: int = 512  # K: per-tile Gaussian capacity (multiple of chunk)
     max_dup: int = 16  # tile duplicates per Gaussian
@@ -324,12 +331,17 @@ def _assemble_image(tiled: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
 
 
 def resolve_binning(cfg: RasterizeConfig, n: int) -> RasterizeConfig:
-    """Pin `binning="auto"` / `sub_chunk=0` to their static-N choices."""
+    """Pin `binning="auto"` / `sub_chunk=0` / `tile_h=0` to their static-N
+    choices. Must run before any TileGrid is built from the config."""
     binning = cfg.binning
     if binning == "auto":
         binning = "mask" if n <= BINNING_AUTO_N else "nosort"
     sub_chunk = cfg.sub_chunk or (64 if n <= BINNING_AUTO_N else 128)
-    return cfg._replace(binning=binning, sub_chunk=sub_chunk)
+    # tall tiles only with sub<=64 granules: 32x128 tiles with 128-wide
+    # granules exceed the 16 MB scoped-VMEM budget in the backward
+    tile_h = cfg.tile_h or (
+        32 if (n <= BINNING_AUTO_N and sub_chunk <= 64) else 16)
+    return cfg._replace(binning=binning, sub_chunk=sub_chunk, tile_h=tile_h)
 
 
 def compute_bins(
@@ -356,6 +368,7 @@ def compute_bins(
     changing depths.
     """
     n = means3d.shape[0]
+    cfg = resolve_binning(cfg, n)
     grid = TileGrid(height=camera.height, width=camera.width,
                     tile_h=cfg.tile_h, tile_w=cfg.tile_w)
     proj = project_gaussians(means3d, quats, scales, camera, live=live)
@@ -403,6 +416,15 @@ def rasterize(
     n = means3d.shape[0]
     n_chan = colors.shape[1]
     assert 6 + n_chan + 1 <= FEAT_DIM, f"too many color channels: {n_chan}"
+    if bins is not None and cfg.binning == "auto":
+        # Caller-supplied bins (reuse across passes/steps) are built by
+        # `compute_bins` in original-order "nosort" form — the compositor's
+        # in-kernel depth sort keeps them valid under changing depths.
+        cfg = cfg._replace(binning="nosort")
+    # Resolve auto choices (binning / sub_chunk / tile_h) BEFORE the grid is
+    # built — compute_bins resolves with the same static n, so caller-
+    # supplied bins always match this grid.
+    cfg = resolve_binning(cfg, n)
     grid = TileGrid(
         height=camera.height, width=camera.width, tile_h=cfg.tile_h, tile_w=cfg.tile_w
     )
@@ -419,11 +441,6 @@ def rasterize(
         proj.mask,
         grid,
     )
-    if bins is not None and cfg.binning == "auto":
-        # Caller-supplied bins (reuse across passes/steps) are built by
-        # `compute_bins` in original-order "nosort" form — the compositor's
-        # in-kernel depth sort keeps them valid under changing depths.
-        cfg = cfg._replace(binning="nosort")
     # Measured crossovers (benchmarks/bench_unsorted_ab.py, TPU v5e,
     # fwd+bwd 720p): mask compare-sum wins below ~8k (5k: 6.2 vs 7.8
     # nosort); above it the sort-free nosort path (original-order
@@ -431,8 +448,7 @@ def rasterize(
     # 13-25% (16k: 9.1 vs 10.4; 65k: 12.3 vs 15.7; 65k-cap/15k-live
     # 6ch: 12.4 vs 15.3). Trade-off above: K-overflow tiles truncate to
     # approximately (bucket-resolution) nearest-K instead of exactly
-    # nearest-K — see `bin_gaussians_unsorted`.
-    cfg = resolve_binning(cfg, n)
+    # nearest-K — see `bin_gaussians_unsorted`. (cfg already resolved above.)
     binning = cfg.binning
     if bins is not None:
         pass  # caller-supplied bins (reuse across passes / steps)

@@ -68,13 +68,30 @@ def build(n, cfg):
 
 
 def main():
-    variants = {
-        "t16_auto": RasterizeConfig(),
-        "t32_sub64": RasterizeConfig(tile_h=32, sub_chunk=64),
-        "t32_sub128": RasterizeConfig(tile_h=32, sub_chunk=128),
-    }
+    import os
+
+    if os.environ.get("GSDX_TILE32_16K"):
+        # round-2 question: does the tall tile extend past the 8192 auto
+        # gate? At 16k tiles are far from K-saturated (avg ~230 covers at
+        # t32 vs K=512) and halving the tile count also halves the mask
+        # binner's O(tiles*N) compare-sum work.
+        variants = {
+            "t16_auto": RasterizeConfig(),           # nosort, sub 128
+            "t32_sub64_nosort": RasterizeConfig(tile_h=32, sub_chunk=64,
+                                                binning="nosort"),
+            "t32_sub64_mask": RasterizeConfig(tile_h=32, sub_chunk=64,
+                                              binning="mask"),
+        }
+        sizes = (16384,)
+    else:
+        variants = {
+            "t16_auto": RasterizeConfig(),
+            "t32_sub64": RasterizeConfig(tile_h=32, sub_chunk=64),
+            "t32_sub128": RasterizeConfig(tile_h=32, sub_chunk=128),
+        }
+        sizes = (5000, 65536)
     results = {}
-    for n in (5000, 65536):
+    for n in sizes:
         fns = {}
         for name, cfg in variants.items():
             try:
@@ -97,7 +114,10 @@ def main():
         for name, mpix in best.items():
             results[f"{n}/{name}"] = round(mpix, 2)
             print(f"{n}/{name}: {mpix:.2f} Mpix/s", flush=True)
-    with open("benchmarks/out/tile32_probe.json", "w") as f:
+    out_name = ("benchmarks/out/tile32_probe_16k.json"
+                if os.environ.get("GSDX_TILE32_16K")
+                else "benchmarks/out/tile32_probe.json")
+    with open(out_name, "w") as f:
         json.dump(results, f, indent=1)
     print("TILE32 PROBE OK", flush=True)
 

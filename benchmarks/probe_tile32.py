@@ -70,7 +70,17 @@ def build(n, cfg):
 def main():
     import os
 
-    if os.environ.get("GSDX_TILE32_16K"):
+    if os.environ.get("GSDX_CHUNK256"):
+        # 65k: granule fixed cost is ~35% of the iteration. Wider granules
+        # (chunk=sub=256) halve the granule count per K=512 tile; the risk
+        # is VMEM ((256,2048) f32 intermediates) and coarser early-stop.
+        variants = {
+            "t16_auto": RasterizeConfig(),
+            "t16_c256_s256": RasterizeConfig(chunk=256, sub_chunk=256),
+            "t16_c256_s128": RasterizeConfig(chunk=256, sub_chunk=128),
+        }
+        sizes = (65536,)
+    elif os.environ.get("GSDX_TILE32_16K"):
         # round-2 question: does the tall tile extend past the 8192 auto
         # gate? At 16k tiles are far from K-saturated (avg ~230 covers at
         # t32 vs K=512) and halving the tile count also halves the mask
@@ -114,9 +124,12 @@ def main():
         for name, mpix in best.items():
             results[f"{n}/{name}"] = round(mpix, 2)
             print(f"{n}/{name}: {mpix:.2f} Mpix/s", flush=True)
-    out_name = ("benchmarks/out/tile32_probe_16k.json"
-                if os.environ.get("GSDX_TILE32_16K")
-                else "benchmarks/out/tile32_probe.json")
+    if os.environ.get("GSDX_CHUNK256"):
+        out_name = "benchmarks/out/chunk256_probe.json"
+    elif os.environ.get("GSDX_TILE32_16K"):
+        out_name = "benchmarks/out/tile32_probe_16k.json"
+    else:
+        out_name = "benchmarks/out/tile32_probe.json"
     with open(out_name, "w") as f:
         json.dump(results, f, indent=1)
     print("TILE32 PROBE OK", flush=True)
